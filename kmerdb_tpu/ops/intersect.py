@@ -1,0 +1,161 @@
+"""Common-k-mer counting kernels.
+
+The flagship all2all kernel re-expresses the reference's
+decompress + SIMD row_add scatter pipeline
+(similarity_calculator.cpp:42-438, src/simd/row_add_avx2.cpp) as MXU
+contractions.  With B the (patterns x samples) 0/1 incidence matrix
+and w the per-pattern k-mer multiplicity:
+
+    C = B^T diag(w) B        (C[i,j] = |kmers(i) ∩ kmers(j)|)
+
+Exactness on the MXU: w is split into 8-bit limbs; each limb matmul
+runs in bfloat16 with float32 accumulation (all quantities are
+integers < 2^24, so f32 accumulation is exact), partial results are
+cast to uint32 and recombined with shifts.  uint32 wraparound matches
+the reference's num_kmers_t arithmetic.
+
+one2all probes query k-mers against the sorted k-mer array (vectorized
+binary search — replacing hashtable probes, similarity_calculator.cpp:
+661-925), histograms pattern ids, and applies counts through the
+pattern CSR.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.database import KmerPatternDb
+
+#: patterns per device chunk; 255 * (_CHUNK+1) must stay < 2^24 for
+#: exact f32 accumulation.
+_CHUNK = 8192
+
+
+@functools.partial(jax.jit, static_argnames=("n_samples", "n_limbs"),
+                   donate_argnums=(0,))
+def _a2a_chunk_step(C, rows, sids, w_full, *, n_samples, n_limbs):
+    """C += B^T diag(w) B for one pattern chunk.
+
+    rows: int32[E] local pattern row of each CSR element (padded -> PC,
+          the dummy row whose weight is 0).
+    sids: int32[E] sample column of each element.
+    w_full: uint32[PC+1] chunk pattern weights, w_full[PC] == 0.
+    """
+    pc1 = w_full.shape[0]
+    B = jnp.zeros((pc1, n_samples), dtype=jnp.bfloat16)
+    B = B.at[rows, sids].set(jnp.bfloat16(1))
+    for l in range(n_limbs):
+        w_l = ((w_full >> np.uint32(8 * l)) & np.uint32(0xFF)).astype(jnp.bfloat16)
+        A = B * w_l[:, None]
+        partial = jax.lax.dot_general(
+            A, B, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        C = C + (partial.astype(jnp.uint32) << np.uint32(8 * l))
+    return C
+
+
+def all2all_counts(db: KmerPatternDb, chunk: int = _CHUNK) -> np.ndarray:
+    """Full symmetric common-k-mer count matrix, uint32[S, S].
+
+    The diagonal holds sample self-counts (the reference only emits the
+    strict lower triangle; callers slice what they need).
+    """
+    S = db.n_samples
+    C = jnp.zeros((S, S), dtype=jnp.uint32)
+    P = db.n_patterns
+    if P == 0 or S == 0:
+        return np.asarray(C)
+
+    offs = db.pattern_offsets
+    el_pid = db.element_pattern_ids()
+    sids = db.pattern_sample_ids
+    w = db.pattern_num_kmers
+
+    max_w = int(w.max())
+    n_limbs = max(1, (max_w.bit_length() + 7) // 8)
+
+    n_chunks = (P + chunk - 1) // chunk
+    # static element-pad size: max elements in any chunk
+    chunk_nnz = [int(offs[min(P, (c + 1) * chunk)] - offs[c * chunk])
+                 for c in range(n_chunks)]
+    E = max(1, max(chunk_nnz))
+
+    for c in range(n_chunks):
+        p0, p1 = c * chunk, min(P, (c + 1) * chunk)
+        pc = p1 - p0
+        lo, hi = int(offs[p0]), int(offs[p1])
+        nnz = hi - lo
+        rows = np.full(E, chunk, dtype=np.int32)
+        cols = np.zeros(E, dtype=np.int32)
+        rows[:nnz] = el_pid[lo:hi] - p0
+        cols[:nnz] = sids[lo:hi]
+        w_full = np.zeros(chunk + 1, dtype=np.uint32)
+        w_full[:pc] = w[p0:p1]
+        C = _a2a_chunk_step(C, jnp.asarray(rows), jnp.asarray(cols),
+                            jnp.asarray(w_full),
+                            n_samples=S, n_limbs=n_limbs)
+    return np.asarray(C)
+
+
+def one2all_counts(db: KmerPatternDb, query_kmers: np.ndarray) -> np.ndarray:
+    """uint32[S] common-kmer counts of one query (sorted unique k-mers)
+    against every database sample (reference one2all,
+    similarity_calculator.cpp:661-925)."""
+    S = db.n_samples
+    sims = np.zeros(S, dtype=np.uint32)
+    if query_kmers.size == 0 or db.n_kmers == 0:
+        return sims
+    idx = np.searchsorted(db.kmers, query_kmers)
+    idx[idx >= db.n_kmers] = db.n_kmers - 1
+    found = db.kmers[idx] == query_kmers
+    pids = db.kmer_pattern_ids[idx[found]]
+    pat_counts = np.bincount(pids, minlength=db.n_patterns)
+
+    nz = np.flatnonzero(pat_counts)
+    offs = db.pattern_offsets
+    for p in nz:
+        cnt = np.uint32(pat_counts[p])
+        seg = db.pattern_sample_ids[offs[p]:offs[p + 1]]
+        sims[seg] += cnt
+    return sims
+
+
+def db2db_counts(db_row: KmerPatternDb, db_col: KmerPatternDb) -> np.ndarray:
+    """uint32[S_row, S_col] cross-database common-k-mer counts
+    (reference db2db_sp, similarity_calculator.cpp:1225-1540).
+
+    Sorted-merge intersection of the two k-mer arrays -> (pid1, pid2)
+    match counts M, then C = B1^T M B2 applied through the CSRs.
+    """
+    S1, S2 = db_row.n_samples, db_col.n_samples
+    C = np.zeros((S1, S2), dtype=np.uint32)
+    if db_row.n_kmers == 0 or db_col.n_kmers == 0:
+        return C
+    # intersect sorted unique arrays
+    idx = np.searchsorted(db_col.kmers, db_row.kmers)
+    idx[idx >= db_col.n_kmers] = db_col.n_kmers - 1
+    found = db_col.kmers[idx] == db_row.kmers
+    p1 = db_row.kmer_pattern_ids[found]
+    p2 = db_col.kmer_pattern_ids[idx[found]]
+    if p1.size == 0:
+        return C
+    # run-length count of (p1, p2) pairs
+    pair = p1.astype(np.int64) * db_col.n_patterns + p2.astype(np.int64)
+    pair.sort(kind="stable")
+    change = np.empty(pair.size, dtype=bool)
+    change[0] = True
+    np.not_equal(pair[1:], pair[:-1], out=change[1:])
+    upair = pair[np.flatnonzero(change)]
+    cnts = np.diff(np.append(np.flatnonzero(change), pair.size))
+    up1 = (upair // db_col.n_patterns).astype(np.int64)
+    up2 = (upair % db_col.n_patterns).astype(np.int64)
+
+    o1, s1 = db_row.pattern_offsets, db_row.pattern_sample_ids
+    o2, s2 = db_col.pattern_offsets, db_col.pattern_sample_ids
+    for a, b, cnt in zip(up1, up2, cnts):
+        rows = s1[o1[a]:o1[a + 1]]
+        cols = s2[o2[b]:o2[b + 1]]
+        C[np.ix_(rows, cols)] += np.uint32(cnt)
+    return C
