@@ -1,0 +1,338 @@
+"""Mode drivers (the reference's console_*.cpp files).
+
+Each run_* takes a parsed Params and produces byte-parity CSV output.
+"""
+
+import sys
+
+import numpy as np
+
+from ..models.database import KmerPatternDb
+from ..models import builder
+from ..ops import intersect
+from ..ops.alphabet import get_alphabet
+from ..io import dbfile, fasta, ingest, minhash_file
+from ..utils import csvio
+from ..utils.filters import CombinedFilter
+from ..utils.num2str import num2str_float, format_double_cpp
+from . import params as P
+from .loader import iter_samples
+from .params import UsageError
+
+_BUILD_BATCH = 1024  # samples per add_samples batch (memory bound)
+
+
+def _log(p, *args):
+    print(*args, file=sys.stderr)
+
+
+# ---------------------------------------------------------------------------
+# build / minhash
+# ---------------------------------------------------------------------------
+
+def run_build(p):
+    if len(p.files) != 2:
+        raise UsageError(p.mode)
+    samples_arg, db_filename = p.files
+
+    if p.extend_db:
+        db = dbfile.load_db(db_filename, dbfile.EVERYTHING)
+        kmer_length = db.kmer_length
+        fraction = db.fraction
+        fraction_start = db.start_fraction
+        alphabet_name = db.alphabet_name
+    else:
+        db = KmerPatternDb(kmer_length=0, fraction=p.fraction,
+                           start_fraction=p.fraction_start,
+                           alphabet_name=p.alphabet_name)
+        kmer_length = p.kmer_length
+        fraction = p.fraction
+        fraction_start = p.fraction_start
+        alphabet_name = p.alphabet_name
+
+    batch = []
+    for s in iter_samples(samples_arg, p.input_format, kmer_length,
+                          fraction, fraction_start, alphabet_name,
+                          p.multisample_fasta):
+        if db.kmer_length == 0:
+            # first sample fixes k/fraction (AbstractKmerDb::addKmers,
+            # kmer_db.h:112-125) — relevant for minhash/KMC inputs
+            db.kmer_length = s.kmer_length
+            db.fraction = s.fraction
+        elif s.kmer_length != db.kmer_length:
+            raise RuntimeError("sample k-mer length differs from database")
+        batch.append((s.name, s.kmers))
+        if len(batch) >= _BUILD_BATCH:
+            db = builder.add_samples(db, batch)
+            batch = []
+    if batch or db.n_samples == 0:
+        db = builder.add_samples(db, batch)
+    dbfile.save_db(db, db_filename)
+    _log(p, f"Database stored: {db.n_samples} samples, {db.n_kmers} kmers, "
+            f"{db.n_patterns} patterns")
+
+
+def run_minhash(p):
+    if len(p.files) != 1:
+        raise UsageError(p.mode)
+    for s in iter_samples(p.files[0], p.input_format, p.kmer_length,
+                          p.fraction, p.fraction_start, p.alphabet_name,
+                          p.multisample_fasta):
+        # store next to the input path (console_minhash.cpp:45); stored
+        # fraction is the CLI fraction
+        minhash_file.store(s.path, s.kmers, s.kmer_length, p.fraction)
+
+
+# ---------------------------------------------------------------------------
+# all2all family
+# ---------------------------------------------------------------------------
+
+def _matrix_filter(p, db, query_counts=None):
+    qc = db.sample_kmer_counts if query_counts is None else query_counts
+    return CombinedFilter(p.metric_filters, p.kmer_filter,
+                          qc, db.sample_kmer_counts, db.kmer_length)
+
+
+def run_all2all(p):
+    if len(p.files) != 2:
+        raise UsageError(p.mode)
+    db_filename, out_filename = p.files
+    db = dbfile.load_db(db_filename, dbfile.PATTERNS)
+    C = intersect.all2all_counts(db)
+
+    with open(out_filename, "w", newline="") as ofs:
+        ofs.write(csvio.matrix_header(db.kmer_length, db.fraction,
+                                      db.sample_names))
+        ofs.write(csvio.totals_row(db.sample_kmer_counts))
+        filt = _matrix_filter(p, db) if p.sparse_out else None
+        for i in range(db.n_samples):
+            row = C[i, :i]
+            name = db.sample_names[i]
+            cnt = int(db.sample_kmer_counts[i])
+            if p.sparse_out:
+                keep = filt.mask_row(row, i)
+                row = np.where(keep, row, 0)
+                ofs.write(csvio.sparse_row(name, cnt, row))
+            else:
+                ofs.write(csvio.dense_row(name, cnt, row))
+
+
+def run_all2all_sp(p):
+    """Sparse computation mode: same math here (the Gram kernel is
+    already dense-tile based); differs from all2all -sparse only in
+    sampling support (console_all2all_sparse.cpp)."""
+    if len(p.files) != 2:
+        raise UsageError(p.mode)
+    db_filename, out_filename = p.files
+    db = dbfile.load_db(db_filename, dbfile.PATTERNS)
+    C = intersect.all2all_counts(db)
+    filt = _matrix_filter(p, db)
+
+    sampler = None
+    if p.sampling_size != 0:
+        from ..utils.sampler import Sampler
+        strategy = "best" if p.sampling_criterion else "random"
+        sampler = Sampler(db.n_samples, p.sampling_size, strategy)
+
+    with open(out_filename, "w", newline="") as ofs:
+        ofs.write(csvio.matrix_header(db.kmer_length, db.fraction,
+                                      db.sample_names))
+        ofs.write(csvio.totals_row(db.sample_kmer_counts))
+
+        if sampler is not None:
+            _feed_sampler(sampler, C, filt, p, db)
+            for i in range(db.n_samples):
+                ofs.write(csvio.sparse_row_pairs(
+                    db.sample_names[i], int(db.sample_kmer_counts[i]),
+                    sampler.row_pairs(i)))
+        else:
+            for i in range(db.n_samples):
+                row = C[i, :i]
+                keep = filt.mask_row(row, i)
+                row = np.where(keep, row, 0)
+                ofs.write(csvio.sparse_row(
+                    db.sample_names[i], int(db.sample_kmer_counts[i]), row))
+
+
+def _feed_sampler(sampler, C, filt, p, db):
+    """add_to_sampler semantics (array.h:450-543): every passing (i,j)
+    lower-triangle cell is offered to row i and, transposed, to row j."""
+    counts = db.sample_kmer_counts
+    crit = p.sampling_criterion or (lambda c, a, b, k: 1.0)
+    S = db.n_samples
+    for i in range(S):
+        row = C[i, :i]
+        for j in np.flatnonzero(row):
+            v = int(row[j])
+            if filt(v, i, j):
+                score = float(crit(v, int(counts[i]), int(counts[j]),
+                                   db.kmer_length))
+                sampler.add(i, j, v, score)
+                sampler.add(j, i, v, score)
+
+
+# ---------------------------------------------------------------------------
+# new2all / one2all
+# ---------------------------------------------------------------------------
+
+def run_new2all(p):
+    if len(p.files) != 3:
+        raise UsageError(p.mode)
+    db_filename, samples_arg, out_filename = p.files
+    db = dbfile.load_db(db_filename, dbfile.EVERYTHING)
+
+    with open(out_filename, "w", newline="") as ofs:
+        ofs.write(csvio.matrix_header(db.kmer_length, db.fraction,
+                                      db.sample_names))
+        ofs.write(csvio.totals_row(db.sample_kmer_counts))
+        for s in iter_samples(samples_arg, p.input_format, db.kmer_length,
+                              db.fraction, db.start_fraction,
+                              db.alphabet_name, p.multisample_fasta):
+            kmers = np.unique(s.kmers)
+            sims = intersect.one2all_counts(db, kmers)
+            cnt = int(kmers.size)
+            if p.sparse_out:
+                filt = _matrix_filter(
+                    p, db, query_counts=np.array([cnt], dtype=np.uint32))
+                pairs = []
+                for j in np.flatnonzero(sims):
+                    if filt(int(sims[j]), 0, int(j)):
+                        pairs.append((int(j) + 1, int(sims[j])))
+                ofs.write(csvio.sparse_row_pairs(s.name, cnt, pairs))
+            else:
+                ofs.write(csvio.dense_row(s.name, cnt, sims))
+
+
+def run_one2all(p):
+    if len(p.files) != 3:
+        raise UsageError(p.mode)
+    db_filename, sample_arg, out_filename = p.files
+    db = dbfile.load_db(db_filename, dbfile.EVERYTHING)
+
+    if p.input_format == P.GENOME:
+        contigs = fasta.load_sample_contigs(sample_arg)
+        if contigs is None:
+            raise RuntimeError(f"Cannot open sample file: {sample_arg}")
+        kmers = ingest.extract_sample_kmers(
+            contigs, db.kmer_length, get_alphabet(db.alphabet_name),
+            db.fraction, db.start_fraction)
+    elif p.input_format == P.MINHASH:
+        res = minhash_file.load(sample_arg)
+        if res is None:
+            raise RuntimeError(f"Cannot open sample file: {sample_arg}")
+        kmers, k, _ = res
+        if k != db.kmer_length:
+            raise RuntimeError("Sample and database k-mer length differ")
+    else:
+        from ..io import kmc
+        kmers, k = kmc.load(sample_arg, db.fraction, db.start_fraction)
+        kmers = np.unique(kmers)
+
+    sims = intersect.one2all_counts(db, kmers)
+    with open(out_filename, "w", newline="") as ofs:
+        # console_one2all.cpp:86-92: totals via ostream, no final newline
+        ofs.write(csvio.matrix_header(db.kmer_length, db.fraction,
+                                      db.sample_names))
+        ofs.write(csvio.totals_row(db.sample_kmer_counts))
+        ofs.write(f"{sample_arg},{kmers.size},"
+                  + "".join(f"{int(v)}," for v in sims))
+
+
+# ---------------------------------------------------------------------------
+# distance
+# ---------------------------------------------------------------------------
+
+def run_distance(p):
+    from ..utils.filters import AVAILABLE_METRICS
+    if len(p.files) < 2:
+        raise UsageError(p.mode)
+    in_name, out_name = p.files[0], p.files[1]
+    metric = AVAILABLE_METRICS[p.metric_name]
+
+    with open(in_name) as fin, open(out_name, "w", newline="") as fout:
+        header = fin.readline().rstrip("\n")
+        # 'kmer-length: K fraction: F ,db-samples ,names...'
+        toks = header.split()
+        kmer_length = int(toks[1])
+        fraction = float(toks[3])
+        # remainder after the 5th whitespace token (',db-samples')
+        idx = 0
+        for _ in range(5):
+            while header[idx] == " ":
+                idx += 1
+            while idx < len(header) and header[idx] != " ":
+                idx += 1
+        rest = header[idx:]
+        names = [t for t in rest.replace(",", " ").split()]
+        if not p.phylip_out:
+            fout.write(f"kmer-length: {kmer_length} fraction: "
+                       f"{format_double_cpp(fraction)}{rest}\n")
+
+        totals_line = fin.readline().rstrip("\n")
+        toks = totals_line.replace(",", " ").split()
+        db_counts = [int(t) for t in toks[2:]]
+        if p.phylip_out:
+            fout.write(f"{len(db_counts)}\n")
+
+        sparse_out = p.sparse_out and not p.phylip_out
+        triangle = False
+
+        for row_id, line in enumerate(fin):
+            line = line.rstrip("\n")
+            cpos = line.find(",")
+            query_name = line[:cpos]
+            rest = line[cpos + 1:]
+            cpos = rest.find(",")
+            query_count = int(rest[:cpos]) if cpos >= 0 else int(rest or 0)
+            body = rest[cpos + 1:] if cpos >= 0 else ""
+
+            filt = CombinedFilter(p.metric_filters, p.kmer_filter,
+                                  [query_count], db_counts, kmer_length)
+
+            dense = np.zeros(len(db_counts), dtype=np.int64)
+            sparse_entries = []
+            num_read = 0
+            for tok in body.split(","):
+                if not tok:
+                    continue
+                if ":" in tok:
+                    c, v = tok.split(":")
+                    col = int(c) - 1
+                    common = int(v)
+                    if p.phylip_out:
+                        dense[col] = common
+                    else:
+                        sparse_out = True
+                        if common > 0 and filt(common, 0, col):
+                            sparse_entries.append((col, common))
+                else:
+                    common = int(tok)
+                    if sparse_out:
+                        if common > 0 and filt(common, 0, num_read):
+                            sparse_entries.append((num_read, common))
+                    else:
+                        dense[num_read] = common
+                num_read += 1
+
+            if row_id == 0:
+                empty_diag = (len(sparse_entries) == 0) if sparse_out \
+                    else (dense[0] == 0)
+                if query_name == names[0] and empty_diag:
+                    triangle = True
+
+            if sparse_out:
+                out_cells = "".join(
+                    f"{col + 1}:{num2str_float(metric(common, query_count, db_counts[col], kmer_length))},"
+                    for col, common in sparse_entries)
+                fout.write(f"{query_name},{out_cells}\n")
+            else:
+                n_proc = row_id if triangle else len(dense)
+                vals = (num2str_float(metric(int(dense[j]), query_count,
+                                             db_counts[j], kmer_length))
+                        for j in range(n_proc if not p.phylip_out else num_read))
+                if p.phylip_out:
+                    fout.write(query_name + " "
+                               + "".join(v + " " for v in vals) + "\n")
+                else:
+                    fout.write(query_name + ","
+                               + "".join(v + "," for v in vals) + "\n")

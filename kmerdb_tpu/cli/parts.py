@@ -1,0 +1,152 @@
+"""all2all-parts: grid comparison over partial databases
+(reference src/console_all2all_parts.cpp:11-371).
+
+Pass 1 reads only sample tables of every part; pass 2 walks grid rows,
+computing the diagonal cell with the all2all kernel and off-diagonal
+cells with the cross-database kernel, streaming out globally-indexed
+sparse rows (column indices shifted by the parts' sample offsets).
+"""
+
+import numpy as np
+
+from ..io import dbfile
+from ..ops import intersect
+from ..utils import csvio
+from ..utils.filters import CombinedFilter
+from .params import UsageError
+
+
+def run_all2all_parts(p):
+    if len(p.files) != 2:
+        raise UsageError(p.mode)
+    list_fn, out_fn = p.files
+    with open(list_fn) as f:
+        part_fns = f.read().split()
+    if not part_fns:
+        raise RuntimeError("Cannot open: " + list_fn)
+
+    # pass 1: headers only (SamplesOnly)
+    sample_names, sample_counts, part_sizes = [], [], []
+    kmer_len, fraction = 0, 1.0
+    for i, fn in enumerate(part_fns):
+        hdr = dbfile.load_db(fn, dbfile.SAMPLES_ONLY)
+        if i == 0:
+            kmer_len, fraction = hdr.kmer_length, hdr.fraction
+        else:
+            if hdr.kmer_length != kmer_len:
+                raise RuntimeError("Different k-mer lengths")
+            if hdr.fraction != fraction:
+                raise RuntimeError("Different fractions")
+        sample_names += hdr.sample_names
+        sample_counts += [int(c) for c in hdr.sample_kmer_counts]
+        part_sizes.append(hdr.n_samples)
+
+    do_sampling = p.sampling_size != 0
+    sampler = None
+    if do_sampling:
+        from ..utils.sampler import Sampler
+        strategy = "best" if p.sampling_criterion else "random"
+        sampler = Sampler(len(sample_names), p.sampling_size, strategy)
+
+    idx_shifts = np.concatenate([[0], np.cumsum(part_sizes)]).astype(int)
+
+    with open(out_fn, "w", newline="") as ofs:
+        ofs.write(csvio.matrix_header(kmer_len, fraction, sample_names))
+        ofs.write(csvio.totals_row(sample_counts))
+
+        cached_col = {}  # part index -> loaded db (previous row's diagonal)
+        for i_row, fn_row in enumerate(part_fns):
+            db_row = dbfile.load_db(fn_row, dbfile.EVERYTHING)
+            row_filter_counts = db_row.sample_kmer_counts
+
+            # cell matrices of this grid row, keyed by i_col
+            cells = {}
+            for i_col in range(i_row):
+                db_col = cached_col.pop(i_col, None)
+                if db_col is None:
+                    db_col = dbfile.load_db(part_fns[i_col], dbfile.EVERYTHING)
+                X = intersect.db2db_counts(db_row, db_col)
+                filt = CombinedFilter(p.metric_filters, p.kmer_filter,
+                                      row_filter_counts,
+                                      db_col.sample_kmer_counts, kmer_len)
+                if do_sampling:
+                    _cross_to_sampler(sampler, X, filt, p, db_row, db_col,
+                                      idx_shifts[i_row], idx_shifts[i_col],
+                                      kmer_len)
+                else:
+                    cells[i_col] = _filtered_pairs_matrix(X, filt)
+
+            # diagonal cell
+            C = intersect.all2all_counts(db_row)
+            filt = CombinedFilter(p.metric_filters, p.kmer_filter,
+                                  row_filter_counts, row_filter_counts,
+                                  kmer_len)
+            if do_sampling:
+                _diag_to_sampler(sampler, C, filt, p, db_row,
+                                 idx_shifts[i_row], kmer_len)
+            else:
+                S = db_row.n_samples
+                diag_cell = []
+                for r in range(S):
+                    row = C[r, :r]
+                    keep = filt.mask_row(row, r)
+                    diag_cell.append([(int(j), int(row[j]))
+                                      for j in np.flatnonzero(row * keep)])
+                cells[i_row] = diag_cell
+
+            cached_col[i_row] = db_row
+
+            if not do_sampling:
+                for r in range(db_row.n_samples):
+                    g = idx_shifts[i_row] + r
+                    pairs = []
+                    shift = 0
+                    for i_col in range(i_row + 1):
+                        for j, v in cells[i_col][r]:
+                            pairs.append((shift + j + 1, v))
+                        shift += part_sizes[i_col]
+                    ofs.write(csvio.sparse_row_pairs(
+                        sample_names[g], sample_counts[g], pairs))
+
+        if do_sampling:
+            for g in range(len(sample_names)):
+                ofs.write(csvio.sparse_row_pairs(
+                    sample_names[g], sample_counts[g], sampler.row_pairs(g)))
+
+
+def _filtered_pairs_matrix(X, filt):
+    """Per-row sorted (col, value) pairs passing the filter."""
+    out = []
+    for r in range(X.shape[0]):
+        row = X[r]
+        keep = filt.mask_row(row, r)
+        out.append([(int(j), int(row[j]))
+                    for j in np.flatnonzero(row * keep)])
+    return out
+
+
+def _cross_to_sampler(sampler, X, filt, p, db_row, db_col, row_shift,
+                      col_shift, kmer_len):
+    crit = p.sampling_criterion or (lambda c, a, b, k: 1.0)
+    rc = db_row.sample_kmer_counts
+    cc = db_col.sample_kmer_counts
+    for r in range(X.shape[0]):
+        for j in np.flatnonzero(X[r]):
+            v = int(X[r, j])
+            if filt(v, r, int(j)):
+                score = float(crit(v, int(rc[r]), int(cc[j]), kmer_len))
+                sampler.add(row_shift + r, col_shift + int(j), v, score)
+                sampler.add(col_shift + int(j), row_shift + r, v, score)
+
+
+def _diag_to_sampler(sampler, C, filt, p, db_row, shift, kmer_len):
+    crit = p.sampling_criterion or (lambda c, a, b, k: 1.0)
+    counts = db_row.sample_kmer_counts
+    for r in range(db_row.n_samples):
+        row = C[r, :r]
+        for j in np.flatnonzero(row):
+            v = int(row[j])
+            if filt(v, r, int(j)):
+                score = float(crit(v, int(counts[r]), int(counts[j]), kmer_len))
+                sampler.add(shift + r, shift + int(j), v, score)
+                sampler.add(shift + int(j), shift + r, v, score)

@@ -16,7 +16,13 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 import pathlib
 
+import jax
 import pytest
+
+# persistent compile cache: the u64-heavy kernels are slow to build on
+# the CPU backend; cache across pytest runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/kmerdb_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 REFERENCE_ROOT = pathlib.Path("/root/reference")
 
