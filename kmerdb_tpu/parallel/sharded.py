@@ -1,0 +1,86 @@
+"""Sharded kernels: pattern-sharded all2all with psum merging.
+
+The dense all2all decomposes over patterns: C = sum_p w_p b_p b_p^T.
+Sharding the pattern axis across devices makes every device compute a
+partial C over its pattern slice; a single psum over the mesh axis
+merges partials (uint32 adds are associative, so the reduction is
+exact and order-independent — SURVEY hard-part #6).  This replaces the
+reference's row-ownership thread partitioning
+(similarity_calculator.cpp:371-399) with an ICI collective.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..models.database import KmerPatternDb
+
+
+def _local_gram(rows, sids, w_full, n_samples, n_limbs):
+    """Partial C over this device's pattern slice (cf. ops/intersect)."""
+    pc1 = w_full.shape[0]
+    B = jnp.zeros((pc1, n_samples), dtype=jnp.bfloat16)
+    B = B.at[rows, sids].set(jnp.bfloat16(1))
+    C = jnp.zeros((n_samples, n_samples), dtype=jnp.uint32)
+    for l in range(n_limbs):
+        w_l = ((w_full >> np.uint32(8 * l)) & np.uint32(0xFF)).astype(jnp.bfloat16)
+        A = B * w_l[:, None]
+        partial = jax.lax.dot_general(
+            A, B, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        C = C + (partial.astype(jnp.uint32) << np.uint32(8 * l))
+    return C
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "n_samples", "n_limbs"))
+def _a2a_sharded(rows, sids, w_full, *, mesh, n_samples, n_limbs):
+    def step(rows_l, sids_l, w_l):
+        C = _local_gram(rows_l[0], sids_l[0], w_l[0], n_samples, n_limbs)
+        return jax.lax.psum(C, "shard")
+
+    return shard_map(
+        step, mesh=mesh,
+        in_specs=(P("shard"), P("shard"), P("shard")),
+        out_specs=P())(rows, sids, w_full)
+
+
+def all2all_counts_sharded(db: KmerPatternDb, mesh: Mesh) -> np.ndarray:
+    """Multi-device all2all: patterns split into one slice per device,
+    each slice padded to common geometry; partial counts psum-merged."""
+    S = db.n_samples
+    D = mesh.devices.size
+    P_n = db.n_patterns
+    if P_n == 0 or S == 0:
+        return np.zeros((S, S), dtype=np.uint32)
+
+    offs = db.pattern_offsets
+    el_pid = db.element_pattern_ids()
+    sids = db.pattern_sample_ids
+    w = db.pattern_num_kmers
+    max_w = int(w.max())
+    n_limbs = max(1, (max_w.bit_length() + 7) // 8)
+
+    per_dev = (P_n + D - 1) // D
+    bounds = [min(P_n, d * per_dev) for d in range(D + 1)]
+    E = max(1, max(int(offs[bounds[d + 1]] - offs[bounds[d]])
+                   for d in range(D)))
+
+    rows_all = np.full((D, E), per_dev, dtype=np.int32)  # dummy row
+    sids_all = np.zeros((D, E), dtype=np.int32)
+    w_all = np.zeros((D, per_dev + 1), dtype=np.uint32)
+    for d in range(D):
+        p0, p1 = bounds[d], bounds[d + 1]
+        lo, hi = int(offs[p0]), int(offs[p1])
+        nnz = hi - lo
+        rows_all[d, :nnz] = el_pid[lo:hi] - p0
+        sids_all[d, :nnz] = sids[lo:hi]
+        w_all[d, :p1 - p0] = w[p0:p1]
+
+    C = _a2a_sharded(jnp.asarray(rows_all), jnp.asarray(sids_all),
+                     jnp.asarray(w_all), mesh=mesh, n_samples=S,
+                     n_limbs=n_limbs)
+    return np.asarray(C)

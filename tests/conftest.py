@@ -8,16 +8,18 @@ against single-device results.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import pathlib
 
 import jax
 import pytest
+
+# The axon sitecustomize force-registers its TPU plugin and rewrites
+# jax_platforms; override back to an 8-device virtual CPU mesh (env vars
+# alone are too late — jax is imported at interpreter start).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 # persistent compile cache: the u64-heavy kernels are slow to build on
 # the CPU backend; cache across pytest runs

@@ -1,0 +1,38 @@
+"""Sharding invariance: N-device pattern-sharded all2all == single-device.
+
+Plays the role of the reference CI's threads-{1,2,16} matrix (results
+must not depend on the parallel decomposition)."""
+
+import numpy as np
+import pytest
+
+from kmerdb_tpu.io import fasta, ingest
+from kmerdb_tpu.models.database import KmerPatternDb
+from kmerdb_tpu.models import builder
+from kmerdb_tpu.ops import intersect
+from kmerdb_tpu.ops.alphabet import get_alphabet
+from kmerdb_tpu.parallel.mesh import make_mesh
+from kmerdb_tpu.parallel.sharded import all2all_counts_sharded
+
+
+@pytest.fixture(scope="module")
+def synth_db(reference_test_dir):
+    path = reference_test_dir / "synth" / "synth.fa"
+    headers, seqs = fasta.split_contigs(fasta.read_raw(str(path)))
+    alph = get_alphabet("nt")
+    samples = [(h.decode(), ingest.extract_sample_kmers([s], 21, alph))
+               for h, s in zip(headers, seqs)]
+    return builder.add_samples(
+        KmerPatternDb(kmer_length=21, fraction=1.0, alphabet_name="nt"),
+        samples)
+
+
+@pytest.mark.parametrize("n_devices", [1, 2, 8])
+def test_sharded_all2all_matches(synth_db, n_devices):
+    import jax
+    if len(jax.devices()) < n_devices:
+        pytest.skip("not enough devices")
+    mesh = make_mesh(n_devices)
+    got = all2all_counts_sharded(synth_db, mesh)
+    want = intersect.all2all_counts(synth_db)
+    np.testing.assert_array_equal(got, want)
