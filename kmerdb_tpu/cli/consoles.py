@@ -3,6 +3,7 @@
 Each run_* takes a parsed Params and produces byte-parity CSV output.
 """
 
+import os
 import sys
 
 import numpy as np
@@ -24,6 +25,8 @@ _BUILD_BATCH = 1024  # samples per add_samples batch (memory bound)
 
 def _log(p, *args):
     print(*args, file=sys.stderr)
+
+
 
 
 # ---------------------------------------------------------------------------
@@ -50,6 +53,9 @@ def run_build(p):
         fraction_start = p.fraction_start
         alphabet_name = p.alphabet_name
 
+    import time
+    timing = os.environ.get("KMERDB_TIMING") == "1"
+    t0 = time.perf_counter()
     batch = []
     for s in iter_samples(samples_arg, p.input_format, kmer_length,
                           fraction, fraction_start, alphabet_name,
@@ -65,9 +71,14 @@ def run_build(p):
         if len(batch) >= _BUILD_BATCH:
             db = builder.add_samples(db, batch)
             batch = []
+    t1 = time.perf_counter()
     if batch or db.n_samples == 0:
         db = builder.add_samples(db, batch)
+    t2 = time.perf_counter()
     dbfile.save_db(db, db_filename)
+    if timing:
+        _log(p, f"TIMING ingest={t1 - t0:.2f}s add={t2 - t1:.2f}s "
+                f"save={time.perf_counter() - t2:.2f}s")
     _log(p, f"Database stored: {db.n_samples} samples, {db.n_kmers} kmers, "
             f"{db.n_patterns} patterns")
 

@@ -2,39 +2,65 @@
 
 This replaces the reference's LoaderEx thread pipeline + per-sample
 pdqsort (src/loader_ex.{h,cpp}, src/console_build.cpp:94-103) with a
-batched device pipeline: contigs are bucketed into padded uint8 blocks
-(power-of-two geometry to bound jit specializations), extraction runs
-as one fused XLA program per bucket shape, and sort+unique happens on
-device.  Ragged genome inputs feeding a fixed-shape device pipeline is
-the SURVEY hard-part #4; bucketing is the answer here.
+batched vectorized pipeline: contigs are bucketed into padded uint8
+blocks and extraction runs as fused vector ops over whole blocks
+(identical math on either backend).  Ragged genome inputs feeding a
+fixed-shape pipeline is the SURVEY hard-part #4; bucketing is the
+answer here.  The host path is the default (see _DEVICE_INGEST).
 """
 
-import functools
+import os
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
 from ..types import KMER_SENTINEL
 from ..ops.alphabet import Alphabet
-from ..ops import extract
+from ..ops import extract, minhash
+from ..utils import native
 
 
 def _ceil_pow2(n: int) -> int:
     return 1 << max(0, (n - 1)).bit_length()
 
 
+def _extract_native(contigs: list[bytes], k: int, alphabet: Alphabet,
+                    fraction: float, start: float) -> np.ndarray:
+    """C++ rolling extraction per contig; returns unsorted multiset."""
+    pshift, tailmask = extract.prefix_shift(k, alphabet.bits_per_symbol)
+    use_filter = fraction < 1.0
+    lo, hi = minhash.thresholds(fraction, start) if use_filter else (0, 0)
+    pieces = [native.extract_contig(
+        np.frombuffer(c, dtype=np.uint8), k, alphabet.mapping,
+        alphabet.bits_per_symbol, alphabet.size, alphabet.preserve_strand,
+        pshift, tailmask, lo, hi, use_filter) for c in contigs]
+    return (np.concatenate(pieces) if pieces
+            else np.empty(0, dtype=np.uint64))
+
+
+#: Device ingest pays one host->device->host round trip per bucket;
+#: worth it only when the link is fast (real PCIe/ICI hosts).  The
+#: vectorized host path needs ~40 ms per 300 kbp genome and no
+#: transfers, so it is the default; flip via env for TPU-local ingest.
+_DEVICE_INGEST = os.environ.get("KMERDB_DEVICE_INGEST", "0") == "1"
+
+
 def extract_sample_kmers(contigs: list[bytes], k: int, alphabet: Alphabet,
                          fraction: float = 1.0, start: float = 0.0,
-                         use_device: bool = True) -> np.ndarray:
+                         use_device: bool | None = None) -> np.ndarray:
     """All (filtered, canonical) k-mers of one sample: sorted + unique.
 
     Matches console_build.cpp:94-103 postprocessing: sort + unique of
     the concatenated per-contig extraction output.
     """
+    if use_device is None:
+        use_device = _DEVICE_INGEST
     contigs = [c for c in contigs if len(c) >= k]
     if not contigs:
         return np.empty(0, dtype=np.uint64)
+
+    if not use_device and native.available:
+        flat = _extract_native(contigs, k, alphabet, fraction, start)
+        return native.sort_unique(flat)
 
     # bucket contigs by padded length
     buckets: dict[int, list[bytes]] = {}
@@ -44,7 +70,7 @@ def extract_sample_kmers(contigs: list[bytes], k: int, alphabet: Alphabet,
     pieces = []
     for L, group in sorted(buckets.items()):
         B = len(group)
-        Bpad = _ceil_pow2(B)
+        Bpad = _ceil_pow2(B) if use_device else B
         block = np.zeros((Bpad, L), dtype=np.uint8)
         lengths = np.zeros(Bpad, dtype=np.int32)
         for i, c in enumerate(group):
@@ -52,6 +78,7 @@ def extract_sample_kmers(contigs: list[bytes], k: int, alphabet: Alphabet,
             block[i, :arr.size] = arr
             lengths[i] = arr.size
         if use_device:
+            import jax.numpy as jnp
             out = np.asarray(extract.extract_block_jnp(
                 jnp.asarray(block), jnp.asarray(lengths), k, alphabet,
                 fraction, start))
@@ -61,7 +88,7 @@ def extract_sample_kmers(contigs: list[bytes], k: int, alphabet: Alphabet,
         pieces.append(out.ravel())
 
     flat = np.concatenate(pieces)
-    flat.sort(kind="stable")
+    flat.sort()
     n_valid = int(np.searchsorted(flat, KMER_SENTINEL))
     flat = flat[:n_valid]
     if flat.size == 0:

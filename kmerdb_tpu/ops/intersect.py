@@ -28,32 +28,63 @@ import jax.numpy as jnp
 
 from ..models.database import KmerPatternDb
 
-#: patterns per device chunk; 255 * (_CHUNK+1) must stay < 2^24 for
-#: exact f32 accumulation.
-_CHUNK = 8192
+#: patterns per device chunk (fits u16 row ids incl. the dummy row);
+#: 255 * (_CHUNK+1) stays < 2^24 for exact f32 accumulation.
+_CHUNK = 32768
+#: CSR elements per device chunk
+_CHUNK_E = 1 << 20
 
 
-@functools.partial(jax.jit, static_argnames=("n_samples", "n_limbs"),
-                   donate_argnums=(0,))
-def _a2a_chunk_step(C, rows, sids, w_full, *, n_samples, n_limbs):
+def _gram_chunk(C, rows, sids, w_full, n_limbs):
     """C += B^T diag(w) B for one pattern chunk.
 
-    rows: int32[E] local pattern row of each CSR element (padded -> PC,
-          the dummy row whose weight is 0).
-    sids: int32[E] sample column of each element.
+    rows: int[E] local pattern row of each CSR element (padded -> the
+    dummy row PC whose weight is 0).
+    sids: int[E] sample column of each element.
     w_full: uint32[PC+1] chunk pattern weights, w_full[PC] == 0.
     """
     pc1 = w_full.shape[0]
-    B = jnp.zeros((pc1, n_samples), dtype=jnp.bfloat16)
-    B = B.at[rows, sids].set(jnp.bfloat16(1))
+    S = C.shape[0]
+    B = jnp.zeros((pc1, S), dtype=jnp.bfloat16)
+    B = B.at[rows.astype(jnp.int32), sids.astype(jnp.int32)].set(
+        jnp.bfloat16(1))
     for l in range(n_limbs):
-        w_l = ((w_full >> np.uint32(8 * l)) & np.uint32(0xFF)).astype(jnp.bfloat16)
+        w_l = ((w_full >> np.uint32(8 * l)) & np.uint32(0xFF)
+               ).astype(jnp.bfloat16)
         A = B * w_l[:, None]
         partial = jax.lax.dot_general(
             A, B, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         C = C + (partial.astype(jnp.uint32) << np.uint32(8 * l))
     return C
+
+
+@functools.partial(jax.jit, static_argnames=("n_samples", "n_limbs"))
+def _a2a_scan(rows, sids, w_full, *, n_samples, n_limbs):
+    """Whole all2all in ONE dispatch: lax.scan over pattern chunks.
+
+    rows/sids: (n_chunks, E) element arrays; w_full: (n_chunks, PC+1).
+    """
+    C0 = jnp.zeros((n_samples, n_samples), dtype=jnp.uint32)
+
+    def step(C, chunk):
+        r, s, w = chunk
+        return _gram_chunk(C, r, s, w, n_limbs), None
+
+    C, _ = jax.lax.scan(step, C0, (rows, sids, w_full))
+    return C
+
+
+def _chunk_plan(offs: np.ndarray, P: int, max_p: int, max_e: int):
+    """Pattern-range chunk bounds limited by pattern and element budgets."""
+    bounds = [0]
+    while bounds[-1] < P:
+        p0 = bounds[-1]
+        p1 = min(P, p0 + max_p)
+        hi = int(np.searchsorted(offs, offs[p0] + max_e, side="right")) - 1
+        p1 = max(p0 + 1, min(p1, hi))
+        bounds.append(p1)
+    return bounds
 
 
 def all2all_counts(db: KmerPatternDb, chunk: int = _CHUNK) -> np.ndarray:
@@ -63,10 +94,9 @@ def all2all_counts(db: KmerPatternDb, chunk: int = _CHUNK) -> np.ndarray:
     strict lower triangle; callers slice what they need).
     """
     S = db.n_samples
-    C = jnp.zeros((S, S), dtype=jnp.uint32)
     P = db.n_patterns
     if P == 0 or S == 0:
-        return np.asarray(C)
+        return np.zeros((S, S), dtype=np.uint32)
 
     offs = db.pattern_offsets
     el_pid = db.element_pattern_ids()
@@ -76,26 +106,28 @@ def all2all_counts(db: KmerPatternDb, chunk: int = _CHUNK) -> np.ndarray:
     max_w = int(w.max())
     n_limbs = max(1, (max_w.bit_length() + 7) // 8)
 
-    n_chunks = (P + chunk - 1) // chunk
-    # static element-pad size: max elements in any chunk
-    chunk_nnz = [int(offs[min(P, (c + 1) * chunk)] - offs[c * chunk])
-                 for c in range(n_chunks)]
-    E = max(1, max(chunk_nnz))
+    bounds = _chunk_plan(offs, P, chunk, _CHUNK_E)
+    n_chunks = len(bounds) - 1
+    E = max(1, max(int(offs[bounds[c + 1]] - offs[bounds[c]])
+                   for c in range(n_chunks)))
+    E = 1 << (E - 1).bit_length()  # pow2 pad: stable jit cache keys
 
+    # u16 element encoding halves the host->device transfer; fall back
+    # to i32 for very wide sample sets.
+    idx_t = np.uint16 if (S <= 0xFFFF and chunk <= 0xFFFE) else np.int32
+    rows_all = np.full((n_chunks, E), chunk, dtype=idx_t)
+    sids_all = np.zeros((n_chunks, E), dtype=idx_t)
+    w_all = np.zeros((n_chunks, chunk + 1), dtype=np.uint32)
     for c in range(n_chunks):
-        p0, p1 = c * chunk, min(P, (c + 1) * chunk)
-        pc = p1 - p0
+        p0, p1 = bounds[c], bounds[c + 1]
         lo, hi = int(offs[p0]), int(offs[p1])
         nnz = hi - lo
-        rows = np.full(E, chunk, dtype=np.int32)
-        cols = np.zeros(E, dtype=np.int32)
-        rows[:nnz] = el_pid[lo:hi] - p0
-        cols[:nnz] = sids[lo:hi]
-        w_full = np.zeros(chunk + 1, dtype=np.uint32)
-        w_full[:pc] = w[p0:p1]
-        C = _a2a_chunk_step(C, jnp.asarray(rows), jnp.asarray(cols),
-                            jnp.asarray(w_full),
-                            n_samples=S, n_limbs=n_limbs)
+        rows_all[c, :nnz] = el_pid[lo:hi] - p0
+        sids_all[c, :nnz] = sids[lo:hi]
+        w_all[c, :p1 - p0] = w[p0:p1]
+
+    C = _a2a_scan(jnp.asarray(rows_all), jnp.asarray(sids_all),
+                  jnp.asarray(w_all), n_samples=S, n_limbs=n_limbs)
     return np.asarray(C)
 
 

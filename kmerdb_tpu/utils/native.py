@@ -1,0 +1,262 @@
+"""ctypes bindings for the C++ host runtime (native/kmerdb_native.cpp).
+
+Auto-compiles the shared object on first use (g++ is part of the
+toolchain); every entry point has a NumPy fallback so the package works
+without a compiler.  Check `available` before relying on speed.
+"""
+
+import ctypes
+import os
+import pathlib
+import subprocess
+import tempfile
+
+import numpy as np
+
+_SRC = pathlib.Path(__file__).resolve().parents[2] / "native" / "kmerdb_native.cpp"
+_LIB_DIR = pathlib.Path(tempfile.gettempdir()) / "kmerdb_tpu_native"
+_LIB = _LIB_DIR / "libkmerdb_native.so"
+
+_lib = None
+available = False
+
+
+def _build() -> bool:
+    if not _SRC.exists():
+        return False
+    _LIB_DIR.mkdir(parents=True, exist_ok=True)
+    if _LIB.exists() and _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
+        return True
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             "-o", str(_LIB), str(_SRC)],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except (subprocess.SubprocessError, FileNotFoundError):
+        return False
+
+
+def _init():
+    global _lib, available
+    if _lib is not None or not _build():
+        return
+    try:
+        lib = ctypes.CDLL(str(_LIB))
+    except OSError:
+        return
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+
+    lib.kmerdb_extract.restype = ctypes.c_int64
+    lib.kmerdb_extract.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int32, i8p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_uint64,
+        ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int32, u64p]
+    lib.kmerdb_radix_sort_kv.restype = None
+    lib.kmerdb_radix_sort_kv.argtypes = [ctypes.c_int64, u64p, u64p, u64p, u64p]
+    lib.kmerdb_radix_sort_k.restype = None
+    lib.kmerdb_radix_sort_k.argtypes = [ctypes.c_int64, u64p, u64p]
+    lib.kmerdb_unique_u64.restype = ctypes.c_int64
+    lib.kmerdb_unique_u64.argtypes = [ctypes.c_int64, u64p]
+    lib.kmerdb_group_stats.restype = ctypes.c_int64
+    lib.kmerdb_group_stats.argtypes = [
+        ctypes.c_int64, u64p, u64p, i64p, u64p, u64p, u64p]
+    u64pp = ctypes.POINTER(u64p)
+    lib.kmerdb_merge_groups.restype = ctypes.c_int64
+    lib.kmerdb_merge_groups.argtypes = [
+        ctypes.c_int32, u64pp, u64pp, u64p, i64p,
+        u64p, u64p, i64p, u64p, u64p, u64p]
+    lib.kmerdb_csr_lengths.restype = None
+    lib.kmerdb_csr_lengths.argtypes = [
+        ctypes.c_int64, i64p, u64p, u64p, ctypes.c_uint64, i64p, i64p]
+    lib.kmerdb_fill_csr.restype = None
+    lib.kmerdb_fill_csr.argtypes = [
+        ctypes.c_int64, i64p, u64p, u64p, ctypes.c_uint64, i64p,
+        ctypes.POINTER(ctypes.c_uint32), i64p,
+        ctypes.POINTER(ctypes.c_uint32)]
+    lib.kmerdb_merge_unique_keys.restype = ctypes.c_int64
+    lib.kmerdb_merge_unique_keys.argtypes = [ctypes.c_int32, u64pp, i64p, u64p]
+    lib.kmerdb_prefault_heap.restype = ctypes.c_int32
+    lib.kmerdb_prefault_heap.argtypes = [ctypes.c_int64]
+    lib.kmerdb_malloc_reuse.restype = None
+    lib.kmerdb_malloc_reuse.argtypes = []
+    lib.kmerdb_malloc_reuse()
+    _lib = lib
+    available = True
+
+
+_init()
+
+
+_prefaulted = 0
+
+
+def prefault_heap(nbytes: int) -> None:
+    """Grow + huge-page-fault the malloc heap to `nbytes` once; later
+    large allocations (incl. numpy temporaries) reuse warmed pages.
+    No-op when native is unavailable or the heap is already that big."""
+    global _prefaulted
+    if not available or nbytes <= _prefaulted:
+        return
+    if _lib.kmerdb_prefault_heap(int(nbytes)) == 0:
+        _prefaulted = nbytes
+
+
+def _p(a, t):
+    return a.ctypes.data_as(t)
+
+
+_U64P = ctypes.POINTER(ctypes.c_uint64)
+_I64P = ctypes.POINTER(ctypes.c_int64)
+_I8P = ctypes.POINTER(ctypes.c_int8)
+_U8P = ctypes.POINTER(ctypes.c_uint8)
+
+
+def extract_contig(seq: np.ndarray, k: int, mapping: np.ndarray, bits: int,
+                   asize: int, preserve: bool, pshift: int, tailmask: int,
+                   lo_thr: int, hi_thr: int, use_filter: bool) -> np.ndarray:
+    """Rolling extraction of one contig (uint8 array) -> kmers u64[]."""
+    out = np.empty(max(0, seq.size - k + 1), dtype=np.uint64)
+    if out.size == 0:
+        return out
+    n = _lib.kmerdb_extract(
+        _p(seq, _U8P), seq.size, k, _p(mapping, _I8P), bits, asize,
+        int(preserve), pshift, ctypes.c_uint64(tailmask),
+        ctypes.c_uint64(lo_thr), ctypes.c_uint64(hi_thr),
+        int(use_filter), _p(out, _U64P))
+    return out[:n]
+
+
+def radix_sort_kv(keys: np.ndarray, vals: np.ndarray) -> None:
+    """In-place stable sort of keys (u64) with u64 payload."""
+    assert keys.size == vals.size
+    tk = np.empty_like(keys)
+    tv = np.empty_like(vals)
+    _lib.kmerdb_radix_sort_kv(keys.size, _p(keys, _U64P), _p(vals, _U64P),
+                              _p(tk, _U64P), _p(tv, _U64P))
+
+
+def radix_sort(keys: np.ndarray) -> None:
+    """In-place sort of u64 keys."""
+    tk = np.empty_like(keys)
+    _lib.kmerdb_radix_sort_k(keys.size, _p(keys, _U64P), _p(tk, _U64P))
+
+
+def sort_unique(keys: np.ndarray) -> np.ndarray:
+    """Sort + dedup, returns the compacted prefix (new array view)."""
+    radix_sort(keys)
+    m = _lib.kmerdb_unique_u64(keys.size, _p(keys, _U64P))
+    return keys[:m]
+
+
+class _Pool:
+    """Grow-only buffer pool: big scratch arrays are faulted once and
+    reused (fresh pages cost ~50us/page on some sandboxed hosts)."""
+
+    def __init__(self):
+        self._bufs: dict[str, np.ndarray] = {}
+
+    def get(self, tag: str, n: int, dtype) -> np.ndarray:
+        dtype = np.dtype(dtype)
+        need = n * dtype.itemsize
+        buf = self._bufs.get(tag)
+        if buf is None or buf.nbytes < need:
+            cap = max(need, 1 << 20)
+            if buf is not None:
+                cap = max(cap, buf.nbytes * 2)
+            self._bufs[tag] = buf = np.empty(cap, dtype=np.uint8)
+        return buf[:need].view(dtype)
+
+
+pool = _Pool()
+
+
+def merge_groups(key_streams: list[np.ndarray],
+                 val_streams: list[np.ndarray | None],
+                 const_vals: list[int], scratch: bool = False):
+    """Fused multiway merge of sorted key streams + per-distinct-key
+    content stats.  val_streams[i] may be None (constant const_vals[i]).
+
+    Returns (merged_vals u64[N], group_keys u64[G], gstart i64[G],
+    glen u64[G], h1 u64[G], h2 u64[G]).  With scratch=True the returned
+    arrays are views into the shared pool (valid until the next pooled
+    call) — callers must copy what they keep."""
+    ns = len(key_streams)
+    total = int(sum(a.size for a in key_streams))
+    # contiguous copies must stay alive across the C call
+    key_arrs = [np.ascontiguousarray(a) for a in key_streams]
+    key_ptrs = (_U64P * ns)(*[_p(a, _U64P) for a in key_arrs])
+    val_arrs = [None if v is None else np.ascontiguousarray(v)
+                for v in val_streams]
+    null = ctypes.cast(None, _U64P)
+    val_ptrs = (_U64P * ns)(*[null if v is None else _p(v, _U64P)
+                              for v in val_arrs])
+    cvals = np.asarray(const_vals, dtype=np.uint64)
+    lens = np.asarray([a.size for a in key_streams], dtype=np.int64)
+
+    if scratch:
+        merged_vals = pool.get("mg_merged", total, np.uint64)
+        group_keys = pool.get("mg_gk", total, np.uint64)
+        gstart = pool.get("mg_gs", total, np.int64)
+        glen = pool.get("mg_gl", total, np.uint64)
+        h1 = pool.get("mg_h1", total, np.uint64)
+        h2 = pool.get("mg_h2", total, np.uint64)
+    else:
+        merged_vals = np.empty(total, dtype=np.uint64)
+        group_keys = np.empty(total, dtype=np.uint64)
+        gstart = np.empty(total, dtype=np.int64)
+        glen = np.empty(total, dtype=np.uint64)
+        h1 = np.empty(total, dtype=np.uint64)
+        h2 = np.empty(total, dtype=np.uint64)
+    g = _lib.kmerdb_merge_groups(
+        ns, key_ptrs, val_ptrs, _p(cvals, _U64P), _p(lens, _I64P),
+        _p(merged_vals, _U64P), _p(group_keys, _U64P), _p(gstart, _I64P),
+        _p(glen, _U64P), _p(h1, _U64P), _p(h2, _U64P))
+    if scratch:
+        return (merged_vals, group_keys[:g], gstart[:g], glen[:g],
+                h1[:g], h2[:g])
+    return (merged_vals, group_keys[:g].copy(), gstart[:g].copy(),
+            glen[:g].copy(), h1[:g].copy(), h2[:g].copy())
+
+
+def csr_lengths(rep_start: np.ndarray, rep_len: np.ndarray,
+                merged_vals: np.ndarray, ref_threshold: int,
+                old_offsets: np.ndarray) -> np.ndarray:
+    P = rep_start.size
+    out_len = np.empty(P, dtype=np.int64)
+    _lib.kmerdb_csr_lengths(P, _p(rep_start, _I64P), _p(rep_len, _U64P),
+                            _p(merged_vals, _U64P),
+                            ctypes.c_uint64(ref_threshold),
+                            _p(old_offsets, _I64P), _p(out_len, _I64P))
+    return out_len
+
+
+def fill_csr(rep_start: np.ndarray, rep_len: np.ndarray,
+             merged_vals: np.ndarray, ref_threshold: int,
+             old_offsets: np.ndarray, old_sample_ids: np.ndarray,
+             out_off: np.ndarray, out: np.ndarray) -> None:
+    _U32P = ctypes.POINTER(ctypes.c_uint32)
+    _lib.kmerdb_fill_csr(rep_start.size, _p(rep_start, _I64P),
+                         _p(rep_len, _U64P), _p(merged_vals, _U64P),
+                         ctypes.c_uint64(ref_threshold),
+                         _p(old_offsets, _I64P),
+                         _p(old_sample_ids, _U32P), _p(out_off, _I64P),
+                         _p(out, _U32P))
+
+
+def group_stats(keys: np.ndarray, vals: np.ndarray):
+    """Per-distinct-key segment stats over a key-sorted stream.
+
+    Returns (gstart i64[G], glen u64[G], h1 u64[G], h2 u64[G])."""
+    n = keys.size
+    gstart = np.empty(n, dtype=np.int64)
+    glen = np.empty(n, dtype=np.uint64)
+    h1 = np.empty(n, dtype=np.uint64)
+    h2 = np.empty(n, dtype=np.uint64)
+    g = _lib.kmerdb_group_stats(n, _p(keys, _U64P), _p(vals, _U64P),
+                                _p(gstart, _I64P), _p(glen, _U64P),
+                                _p(h1, _U64P), _p(h2, _U64P))
+    return gstart[:g], glen[:g], h1[:g], h2[:g]

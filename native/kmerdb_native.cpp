@@ -1,0 +1,467 @@
+// kmerdb_tpu native host runtime.
+//
+// The TPU owns the contraction math (ops/intersect.py); this module owns
+// the host-side hot loops around it, playing the role the reference's
+// C++ runtime plays around its SIMD kernels:
+//   * rolling k-mer extraction + minhash window   (cf. src/kmer_extract.h,
+//     src/filter.h — re-implemented from the documented semantics)
+//   * LSD radix sort of (u64 key, u64 payload)    (replaces pdqsort_par)
+//   * segment set-hash statistics for pattern dedup (replaces the
+//     pattern-forest insert path of src/prefix_kmer_db.cpp)
+//
+// Exposed as a plain C ABI consumed via ctypes (utils/native.py).
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <vector>
+
+#if defined(__linux__)
+#include <malloc.h>
+#include <sys/mman.h>
+#endif
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Heap pre-faulting
+// ---------------------------------------------------------------------------
+//
+// Some sandboxed hosts serve anonymous-page faults at ~90us/page, which
+// makes every fresh large allocation (numpy temporaries included) run
+// at ~0.02 GB/s.  Mitigation: pin malloc to the sbrk heap (no mmap, no
+// trim), grow it once to the expected high-water mark, fault it in with
+// MADV_HUGEPAGE (2 MiB faults are ~500x cheaper), and free — all later
+// allocations reuse pre-faulted pages at full memory bandwidth.
+
+// Keep freed memory in the process: all large allocations go to the
+// sbrk heap and are never returned to the OS, so the (slow) page
+// provisioning cost is paid once per high-water mark.
+void kmerdb_malloc_reuse(void) {
+#if defined(__linux__)
+    mallopt(M_MMAP_MAX, 0);
+    mallopt(M_TRIM_THRESHOLD, 0x7fffffff);
+#endif
+}
+
+int32_t kmerdb_prefault_heap(int64_t bytes) {
+#if defined(__linux__)
+    kmerdb_malloc_reuse();
+    void* p = malloc((size_t)bytes);
+    if (!p) return -1;
+    uintptr_t a = (uintptr_t)p;
+    uintptr_t lo = a & ~((uintptr_t)4095);
+    uintptr_t hi = (a + (uintptr_t)bytes + 4095) & ~((uintptr_t)4095);
+#ifndef MADV_POPULATE_WRITE
+#define MADV_POPULATE_WRITE 23
+#endif
+    // bulk page population: demand faults cost ~50us each on some
+    // sandboxed hosts; MADV_POPULATE_WRITE provisions the same pages
+    // ~30x faster.  Fallback to a volatile touch loop (a plain memset
+    // before free() would be dead-store-eliminated).
+    if (madvise((void*)lo, hi - lo, MADV_POPULATE_WRITE) != 0) {
+        volatile char* q = (volatile char*)p;
+        for (int64_t i = 0; i < bytes; i += 4096) q[i] = 0;
+    }
+    free(p);
+    return 0;
+#else
+    (void)bytes;
+    return -1;
+#endif
+}
+
+// ---------------------------------------------------------------------------
+// 64-bit mixers
+// ---------------------------------------------------------------------------
+
+static inline uint64_t fmix64(uint64_t k) {
+    k ^= k >> 33;
+    k *= 0xff51afd7ed558ccdULL;
+    k ^= k >> 33;
+    k *= 0xc4ceb9fe1a85ec53ULL;
+    k ^= k >> 33;
+    return k;
+}
+
+// MinHash hash; matches the construction documented in
+// kmerdb_tpu/ops/minhash.py (bit-parity with reference filter.h:96-115).
+static inline uint64_t minhash_hash(uint64_t kmer, uint64_t k_div_4) {
+    uint64_t h = kmer * 0x87c37b91114253d5ULL;
+    h = (h << 31) | (h >> 33);
+    h *= 0x4cf5ad432745937fULL;
+    uint64_t h1 = (42ULL ^ h) ^ k_div_4;
+    uint64_t h2 = 42ULL ^ k_div_4;
+    h1 += h2;
+    h2 += h1;
+    h1 = fmix64(h1);
+    h2 = fmix64(h2);
+    h1 += h2;
+    h2 += h1;
+    return h1 ^ h2;
+}
+
+static inline uint64_t splitmix(uint64_t x, uint64_t salt) {
+    uint64_t z = x + salt;
+    z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ULL;
+    z = (z ^ (z >> 27)) * 0x94d049bb133111ebULL;
+    return z ^ (z >> 31);
+}
+
+// ---------------------------------------------------------------------------
+// k-mer extraction (one contig)
+// ---------------------------------------------------------------------------
+//
+// Semantics (same contract as ops/extract.py): rolling forward/reverse
+// packing, canonical = min unless preserve_strand, windows containing
+// invalid symbols dropped, >=8-bit-prefix widening, optional minhash
+// acceptance window.  Returns number of k-mers written to `out`.
+
+int64_t kmerdb_extract(const uint8_t* seq, int64_t len, int32_t k,
+                       const int8_t* mapping, int32_t bits, int32_t asize,
+                       int32_t preserve, int32_t pshift, uint64_t tailmask,
+                       uint64_t lo_thr, uint64_t hi_thr, int32_t use_filter,
+                       uint64_t* out) {
+    if (len < k) return 0;
+    const uint64_t mask =
+        (bits * k >= 64) ? ~0ULL : ((1ULL << (bits * k)) - 1);
+    const int rev_top = (k - 1) * bits;
+    const uint64_t k_div_4 = (uint64_t)((k + 3) / 4);
+
+    uint64_t fwd = 0, rev = 0;
+    int omit = 0;
+    int64_t n = 0;
+    for (int64_t i = 0; i < len; ++i) {
+        int8_t s = mapping[seq[i]];
+        if (s < 0) {
+            s = 0;
+            omit = (i >= k - 1) ? k : (int)(i + 1);
+        }
+        fwd = ((fwd << bits) | (uint64_t)s) & mask;
+        rev = (rev >> bits) | ((uint64_t)(asize - 1 - s) << rev_top);
+        if (i < k - 1) continue;
+        if (omit > 0) { --omit; continue; }
+        uint64_t canon = preserve ? fwd : (fwd < rev ? fwd : rev);
+        canon = (canon << pshift) | (canon & tailmask);
+        if (use_filter) {
+            uint64_t h = minhash_hash(canon, k_div_4);
+            if (h < lo_thr || h >= hi_thr) continue;
+        }
+        out[n++] = canon;
+    }
+    return n;
+}
+
+// ---------------------------------------------------------------------------
+// LSD radix sort of (uint64 key, uint64 payload), 8-bit digits
+// ---------------------------------------------------------------------------
+
+void kmerdb_radix_sort_kv(int64_t n, uint64_t* keys, uint64_t* vals,
+                          uint64_t* tkeys, uint64_t* tvals) {
+    if (n <= 1) return;
+    uint64_t* k_src = keys;  uint64_t* v_src = vals;
+    uint64_t* k_dst = tkeys; uint64_t* v_dst = tvals;
+    int64_t counts[256];
+    for (int pass = 0; pass < 8; ++pass) {
+        const int sh = pass * 8;
+        memset(counts, 0, sizeof(counts));
+        for (int64_t i = 0; i < n; ++i)
+            ++counts[(k_src[i] >> sh) & 0xff];
+        if (counts[(k_src[0] >> sh) & 0xff] == n) continue;  // constant byte
+        int64_t sum = 0;
+        for (int d = 0; d < 256; ++d) {
+            int64_t c = counts[d];
+            counts[d] = sum;
+            sum += c;
+        }
+        for (int64_t i = 0; i < n; ++i) {
+            int64_t p = counts[(k_src[i] >> sh) & 0xff]++;
+            k_dst[p] = k_src[i];
+            v_dst[p] = v_src[i];
+        }
+        uint64_t* t;
+        t = k_src; k_src = k_dst; k_dst = t;
+        t = v_src; v_src = v_dst; v_dst = t;
+    }
+    if (k_src != keys) {
+        memcpy(keys, k_src, (size_t)n * 8);
+        memcpy(vals, v_src, (size_t)n * 8);
+    }
+}
+
+// keys only
+void kmerdb_radix_sort_k(int64_t n, uint64_t* keys, uint64_t* tkeys) {
+    if (n <= 1) return;
+    uint64_t* src = keys;
+    uint64_t* dst = tkeys;
+    int64_t counts[256];
+    for (int pass = 0; pass < 8; ++pass) {
+        const int sh = pass * 8;
+        memset(counts, 0, sizeof(counts));
+        for (int64_t i = 0; i < n; ++i)
+            ++counts[(src[i] >> sh) & 0xff];
+        if (counts[(src[0] >> sh) & 0xff] == n) continue;
+        int64_t sum = 0;
+        for (int d = 0; d < 256; ++d) {
+            int64_t c = counts[d];
+            counts[d] = sum;
+            sum += c;
+        }
+        for (int64_t i = 0; i < n; ++i)
+            dst[counts[(src[i] >> sh) & 0xff]++] = src[i];
+        uint64_t* t = src; src = dst; dst = t;
+    }
+    if (src != keys) memcpy(keys, src, (size_t)n * 8);
+}
+
+// sorted array -> unique in place; returns new count
+int64_t kmerdb_unique_u64(int64_t n, uint64_t* a) {
+    if (n == 0) return 0;
+    int64_t m = 1;
+    for (int64_t i = 1; i < n; ++i)
+        if (a[i] != a[m - 1]) a[m++] = a[i];
+    return m;
+}
+
+// ---------------------------------------------------------------------------
+// Pattern-group statistics
+// ---------------------------------------------------------------------------
+//
+// Input: element stream sorted by key (k-mer): keys[i], vals[i] (the
+// sample-id / pattern-ref stream).  Emits one record per distinct key:
+// group start index, group length, and two order-invariant content
+// hashes (xor/sum of independently mixed values).  Returns #groups.
+
+int64_t kmerdb_group_stats(int64_t n, const uint64_t* keys,
+                           const uint64_t* vals, int64_t* gstart,
+                           uint64_t* glen, uint64_t* h1, uint64_t* h2) {
+    if (n == 0) return 0;
+    int64_t g = -1;
+    uint64_t prev = ~keys[0];
+    for (int64_t i = 0; i < n; ++i) {
+        if (i == 0 || keys[i] != prev) {
+            ++g;
+            gstart[g] = i;
+            glen[g] = 0;
+            h1[g] = 0;
+            h2[g] = 0;
+            prev = keys[i];
+        }
+        glen[g] += 1;
+        h1[g] ^= splitmix(vals[i], 0x9e3779b97f4a7c15ULL);
+        h2[g] += splitmix(vals[i], 0xc2b2ae3d27d4eb4fULL);
+    }
+    return g + 1;
+}
+
+// ---------------------------------------------------------------------------
+// Fused K-way merge + group statistics
+// ---------------------------------------------------------------------------
+//
+// Each input stream is sorted by key.  Stream i supplies keys[i][j] and
+// value vals[i][j] (or the constant const_val[i] when vals[i] == null —
+// sample streams carry their sample id for every element).  Streams are
+// merged with stable tie-breaking by stream index (the old-database
+// stream must come first), emitting the merged value stream plus one
+// record per distinct key: start, length, xor/sum content hashes.
+// Returns #groups.  merged_vals must have room for the total element
+// count; group arrays likewise.
+
+struct KV { uint64_t k, v; };
+
+// stable two-way merge of KV runs (ties: a before b); branchless inner
+// loop (cmov-friendly) — random keys make the take-a/take-b branch
+// unpredictable, which dominates on narrow cores.
+static void merge_runs(const KV* a, int64_t na, const KV* b, int64_t nb,
+                       KV* out) {
+    int64_t i = 0, j = 0, o = 0;
+    while (i < na && j < nb) {
+        const KV va = a[i], vb = b[j];
+        const bool take_b = vb.k < va.k;
+        out[o].k = take_b ? vb.k : va.k;
+        out[o].v = take_b ? vb.v : va.v;
+        ++o;
+        i += !take_b;
+        j += take_b;
+    }
+    if (i < na) memcpy(out + o, a + i, (size_t)(na - i) * sizeof(KV));
+    else if (j < nb) memcpy(out + o, b + j, (size_t)(nb - j) * sizeof(KV));
+}
+
+int64_t kmerdb_merge_groups(int32_t n_streams, const uint64_t** keys,
+                            const uint64_t** vals, const uint64_t* const_val,
+                            const int64_t* lens, uint64_t* merged_vals,
+                            uint64_t* group_keys, int64_t* gstart,
+                            uint64_t* glen, uint64_t* h1, uint64_t* h2) {
+    int64_t total = 0;
+    for (int32_t s = 0; s < n_streams; ++s) total += lens[s];
+    if (total == 0) return 0;
+
+    // materialize (key, value) records, then a pairwise merge tree —
+    // sequential and branch-predictable, unlike an n-way heap.
+    // Scratch is persistent (grow-only): fresh pages are expensive on
+    // some sandboxed hosts, reused ones are full-bandwidth.
+    static std::vector<KV> buf_a, buf_b;
+    if ((int64_t)buf_a.size() < total) {
+        buf_a.resize((size_t)total);
+        buf_b.resize((size_t)total);
+    }
+    std::vector<int64_t> run_off, run_len;
+    int64_t off = 0;
+    for (int32_t s = 0; s < n_streams; ++s) {
+        if (lens[s] == 0) continue;
+        KV* dst = buf_a.data() + off;
+        if (vals[s]) {
+            for (int64_t i = 0; i < lens[s]; ++i)
+                dst[i] = {keys[s][i], vals[s][i]};
+        } else {
+            const uint64_t cv = const_val[s];
+            for (int64_t i = 0; i < lens[s]; ++i)
+                dst[i] = {keys[s][i], cv};
+        }
+        run_off.push_back(off);
+        run_len.push_back(lens[s]);
+        off += lens[s];
+    }
+
+    KV* src = buf_a.data();
+    KV* dst = buf_b.data();
+    while (run_off.size() > 1) {
+        std::vector<int64_t> noff, nlen;
+        for (size_t r = 0; r + 1 < run_off.size(); r += 2) {
+            merge_runs(src + run_off[r], run_len[r],
+                       src + run_off[r + 1], run_len[r + 1],
+                       dst + run_off[r]);
+            noff.push_back(run_off[r]);
+            nlen.push_back(run_len[r] + run_len[r + 1]);
+        }
+        if (run_off.size() & 1) {
+            // odd run out: copy through
+            size_t r = run_off.size() - 1;
+            memcpy(dst + run_off[r], src + run_off[r],
+                   (size_t)run_len[r] * sizeof(KV));
+            noff.push_back(run_off[r]);
+            nlen.push_back(run_len[r]);
+        }
+        run_off.swap(noff);
+        run_len.swap(nlen);
+        KV* t = src; src = dst; dst = t;
+    }
+
+    // single pass: emit merged values + per-group stats
+    int64_t g = -1;
+    uint64_t prev_key = 0;
+    for (int64_t i = 0; i < total; ++i) {
+        const uint64_t k = src[i].k, v = src[i].v;
+        if (g < 0 || k != prev_key) {
+            ++g;
+            group_keys[g] = k;
+            gstart[g] = i;
+            glen[g] = 0;
+            h1[g] = 0;
+            h2[g] = 0;
+            prev_key = k;
+        }
+        merged_vals[i] = v;
+        glen[g] += 1;
+        h1[g] ^= splitmix(v, 0x9e3779b97f4a7c15ULL);
+        h2[g] += splitmix(v, 0xc2b2ae3d27d4eb4fULL);
+    }
+    return g + 1;
+}
+
+// ---------------------------------------------------------------------------
+// Pattern CSR fill
+// ---------------------------------------------------------------------------
+//
+// For each pattern p: out[off[p] .. ] = old_sample_ids[old CSR slice of
+// old_pid[p]] ++ uint32(merged_vals[rep_start[p]+skip .. +rep_len[p]]).
+// skip = 1 when the representative group starts with an old-pattern ref
+// (value >= ref_threshold).
+
+void kmerdb_fill_csr(int64_t n_patterns, const int64_t* rep_start,
+                     const uint64_t* rep_len, const uint64_t* merged_vals,
+                     uint64_t ref_threshold, const int64_t* old_offsets,
+                     const uint32_t* old_sample_ids, const int64_t* out_off,
+                     uint32_t* out) {
+    for (int64_t p = 0; p < n_patterns; ++p) {
+        int64_t src = rep_start[p];
+        int64_t len = (int64_t)rep_len[p];
+        int64_t dst = out_off[p];
+        if (len > 0 && merged_vals[src] >= ref_threshold) {
+            int64_t old_pid = (int64_t)(merged_vals[src] - ref_threshold);
+            int64_t lo = old_offsets[old_pid], hi = old_offsets[old_pid + 1];
+            for (int64_t j = lo; j < hi; ++j) out[dst++] = old_sample_ids[j];
+            ++src;
+            --len;
+        }
+        for (int64_t j = 0; j < len; ++j)
+            out[dst++] = (uint32_t)merged_vals[src + j];
+    }
+}
+
+// out_len per pattern (prefix-sum done by caller)
+void kmerdb_csr_lengths(int64_t n_patterns, const int64_t* rep_start,
+                        const uint64_t* rep_len, const uint64_t* merged_vals,
+                        uint64_t ref_threshold, const int64_t* old_offsets,
+                        int64_t* out_len) {
+    for (int64_t p = 0; p < n_patterns; ++p) {
+        int64_t src = rep_start[p];
+        int64_t len = (int64_t)rep_len[p];
+        if (len > 0 && merged_vals[src] >= ref_threshold) {
+            int64_t old_pid = (int64_t)(merged_vals[src] - ref_threshold);
+            len += old_offsets[old_pid + 1] - old_offsets[old_pid] - 1;
+        }
+        out_len[p] = len;
+    }
+}
+
+// merged distinct keys from sorted streams (keys only; for the unique
+// k-mer array) — single pass multiway merge with dedup.
+int64_t kmerdb_merge_unique_keys(int32_t n_streams, const uint64_t** keys,
+                                 const int64_t* lens, uint64_t* out) {
+    struct Head { uint64_t key; int32_t s; };
+    std::vector<Head> heap;
+    std::vector<int64_t> pos((size_t)n_streams, 0);
+    auto less = [](const Head& a, const Head& b) {
+        return a.key < b.key || (a.key == b.key && a.s < b.s);
+    };
+    auto sift_down = [&](size_t i) {
+        size_t n = heap.size();
+        for (;;) {
+            size_t l = 2 * i + 1, r = l + 1, m = i;
+            if (l < n && less(heap[l], heap[m])) m = l;
+            if (r < n && less(heap[r], heap[m])) m = r;
+            if (m == i) break;
+            Head t = heap[i]; heap[i] = heap[m]; heap[m] = t;
+            i = m;
+        }
+    };
+    for (int32_t s = 0; s < n_streams; ++s)
+        if (lens[s] > 0) heap.push_back({keys[s][0], s});
+    for (size_t i = heap.size(); i-- > 0;) sift_down(i);
+
+    int64_t n_out = 0;
+    bool first = true;
+    uint64_t prev = 0;
+    while (!heap.empty()) {
+        Head top = heap[0];
+        if (first || top.key != prev) {
+            out[n_out++] = top.key;
+            prev = top.key;
+            first = false;
+        }
+        int32_t s = top.s;
+        if (++pos[s] < lens[s]) {
+            heap[0].key = keys[s][pos[s]];
+            sift_down(0);
+        } else {
+            heap[0] = heap.back();
+            heap.pop_back();
+            if (!heap.empty()) sift_down(0);
+        }
+    }
+    return n_out;
+}
+
+}  // extern "C"
