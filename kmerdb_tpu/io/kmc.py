@@ -120,7 +120,11 @@ def load(path: str, fraction: float, fraction_start: float = 0.0):
 # ---------------------------------------------------------------------------
 
 def write_kmc1(path: str, kmers_sorted: np.ndarray, k: int,
-               lut_prefix_len: int = 4, counter_size: int = 1) -> None:
+               lut_prefix_len: int | None = None,
+               counter_size: int = 1) -> None:
+    if lut_prefix_len is None:
+        # (k - lut_prefix_length) must be divisible by 4
+        lut_prefix_len = (k % 4) or 4
     suffix_size = (k - lut_prefix_len) // 4
     assert (k - lut_prefix_len) % 4 == 0
     total = kmers_sorted.size
