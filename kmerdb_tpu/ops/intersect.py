@@ -146,7 +146,17 @@ def one2all_counts(db: KmerPatternDb, query_kmers: np.ndarray) -> np.ndarray:
     pat_counts = np.bincount(pids, minlength=db.n_patterns)
 
     nz = np.flatnonzero(pat_counts)
-    offs = db.pattern_offsets
+    offs = np.ascontiguousarray(db.pattern_offsets, dtype=np.int64)
+    from ..utils import native
+    if native.available:
+        native.csr_apply(np.ascontiguousarray(nz, dtype=np.int64),
+                         np.ascontiguousarray(pat_counts[nz],
+                                              dtype=np.uint32),
+                         offs,
+                         np.ascontiguousarray(db.pattern_sample_ids,
+                                              dtype=np.uint32),
+                         sims)
+        return sims
     for p in nz:
         cnt = np.uint32(pat_counts[p])
         seg = db.pattern_sample_ids[offs[p]:offs[p + 1]]
@@ -184,8 +194,16 @@ def db2db_counts(db_row: KmerPatternDb, db_col: KmerPatternDb) -> np.ndarray:
     up1 = (upair // db_col.n_patterns).astype(np.int64)
     up2 = (upair % db_col.n_patterns).astype(np.int64)
 
-    o1, s1 = db_row.pattern_offsets, db_row.pattern_sample_ids
-    o2, s2 = db_col.pattern_offsets, db_col.pattern_sample_ids
+    o1 = np.ascontiguousarray(db_row.pattern_offsets, dtype=np.int64)
+    s1 = np.ascontiguousarray(db_row.pattern_sample_ids, dtype=np.uint32)
+    o2 = np.ascontiguousarray(db_col.pattern_offsets, dtype=np.int64)
+    s2 = np.ascontiguousarray(db_col.pattern_sample_ids, dtype=np.uint32)
+    from ..utils import native
+    if native.available:
+        native.cross_apply(up1, up2,
+                           np.ascontiguousarray(cnts, dtype=np.uint32),
+                           o1, s1, o2, s2, C)
+        return C
     for a, b, cnt in zip(up1, up2, cnts):
         rows = s1[o1[a]:o1[a + 1]]
         cols = s2[o2[b]:o2[b + 1]]

@@ -84,6 +84,14 @@ def _init():
     lib.kmerdb_malloc_reuse.restype = None
     lib.kmerdb_malloc_reuse.argtypes = []
     lib.kmerdb_malloc_reuse()
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.kmerdb_csr_apply.restype = None
+    lib.kmerdb_csr_apply.argtypes = [ctypes.c_int64, i64p, u32p, i64p,
+                                     u32p, u32p]
+    lib.kmerdb_cross_apply.restype = None
+    lib.kmerdb_cross_apply.argtypes = [ctypes.c_int64, i64p, i64p, u32p,
+                                       i64p, u32p, i64p, u32p,
+                                       ctypes.c_int64, u32p]
     _lib = lib
     available = True
 
@@ -245,6 +253,27 @@ def fill_csr(rep_start: np.ndarray, rep_len: np.ndarray,
                          _p(old_offsets, _I64P),
                          _p(old_sample_ids, _U32P), _p(out_off, _I64P),
                          _p(out, _U32P))
+
+
+def csr_apply(pids: np.ndarray, counts: np.ndarray, offsets: np.ndarray,
+              sample_ids: np.ndarray, sims: np.ndarray) -> None:
+    """sims[sid] += counts[i] for every sid in pattern pids[i]'s slice."""
+    _U32P = ctypes.POINTER(ctypes.c_uint32)
+    _lib.kmerdb_csr_apply(pids.size, _p(pids, _I64P), _p(counts, _U32P),
+                          _p(offsets, _I64P), _p(sample_ids, _U32P),
+                          _p(sims, _U32P))
+
+
+def cross_apply(p1: np.ndarray, p2: np.ndarray, counts: np.ndarray,
+                off1: np.ndarray, sids1: np.ndarray,
+                off2: np.ndarray, sids2: np.ndarray,
+                C: np.ndarray) -> None:
+    """C[r, c] += counts[i] over the cross product of pattern slices."""
+    _U32P = ctypes.POINTER(ctypes.c_uint32)
+    _lib.kmerdb_cross_apply(p1.size, _p(p1, _I64P), _p(p2, _I64P),
+                            _p(counts, _U32P), _p(off1, _I64P),
+                            _p(sids1, _U32P), _p(off2, _I64P),
+                            _p(sids2, _U32P), C.shape[1], _p(C, _U32P))
 
 
 def group_stats(keys: np.ndarray, vals: np.ndarray):

@@ -416,6 +416,41 @@ void kmerdb_csr_lengths(int64_t n_patterns, const int64_t* rep_start,
     }
 }
 
+// ---------------------------------------------------------------------------
+// one2all accumulation: sims[sid] += count over pattern CSR slices
+// (the reference's unrolled pattern-decode loop,
+// similarity_calculator.cpp:737-794)
+// ---------------------------------------------------------------------------
+
+void kmerdb_csr_apply(int64_t n_hits, const int64_t* pids,
+                      const uint32_t* counts, const int64_t* offsets,
+                      const uint32_t* sample_ids, uint32_t* sims) {
+    for (int64_t i = 0; i < n_hits; ++i) {
+        const int64_t p = pids[i];
+        const uint32_t c = counts[i];
+        const int64_t lo = offsets[p], hi = offsets[p + 1];
+        for (int64_t j = lo; j < hi; ++j) sims[sample_ids[j]] += c;
+    }
+}
+
+// cross-database accumulation: C[r, c] += count for every (r, c) in
+// pattern-pair slices (db2db_sp, similarity_calculator.cpp:1340-1529)
+void kmerdb_cross_apply(int64_t n_pairs, const int64_t* p1,
+                        const int64_t* p2, const uint32_t* counts,
+                        const int64_t* off1, const uint32_t* sids1,
+                        const int64_t* off2, const uint32_t* sids2,
+                        int64_t n_cols, uint32_t* C) {
+    for (int64_t i = 0; i < n_pairs; ++i) {
+        const uint32_t cnt = counts[i];
+        const int64_t a0 = off1[p1[i]], a1 = off1[p1[i] + 1];
+        const int64_t b0 = off2[p2[i]], b1 = off2[p2[i] + 1];
+        for (int64_t a = a0; a < a1; ++a) {
+            uint32_t* row = C + (int64_t)sids1[a] * n_cols;
+            for (int64_t b = b0; b < b1; ++b) row[sids2[b]] += cnt;
+        }
+    }
+}
+
 // merged distinct keys from sorted streams (keys only; for the unique
 // k-mer array) — single pass multiway merge with dedup.
 int64_t kmerdb_merge_unique_keys(int32_t n_streams, const uint64_t** keys,
