@@ -287,6 +287,9 @@ def run_distance(p):
 
         sparse_out = p.sparse_out and not p.phylip_out
         triangle = False
+        db_counts_np = np.asarray(db_counts, dtype=np.uint32)
+        from ..utils import native
+        fast = native.available and p.metric_name in native.METRIC_IDS
 
         for row_id, line in enumerate(fin):
             line = line.rstrip("\n")
@@ -300,30 +303,41 @@ def run_distance(p):
             filt = CombinedFilter(p.metric_filters, p.kmer_filter,
                                   [query_count], db_counts, kmer_length)
 
+            toks = body.split(",")
+            if toks and toks[-1] == "":
+                toks.pop()
+            has_pairs = ":" in body
+
             dense = np.zeros(len(db_counts), dtype=np.int64)
             sparse_entries = []
-            num_read = 0
-            for tok in body.split(","):
-                if not tok:
-                    continue
-                if ":" in tok:
-                    c, v = tok.split(":")
-                    col = int(c) - 1
-                    common = int(v)
-                    if p.phylip_out:
-                        dense[col] = common
+            num_read = len(toks)
+            if not has_pairs and not sparse_out:
+                # dense fast path
+                if toks:
+                    dense[:len(toks)] = np.array(toks, dtype=np.int64)
+            else:
+                num_read = 0
+                for tok in toks:
+                    if not tok:
+                        continue
+                    if ":" in tok:
+                        c, v = tok.split(":")
+                        col = int(c) - 1
+                        common = int(v)
+                        if p.phylip_out:
+                            dense[col] = common
+                        else:
+                            sparse_out = True
+                            if common > 0 and filt(common, 0, col):
+                                sparse_entries.append((col, common))
                     else:
-                        sparse_out = True
-                        if common > 0 and filt(common, 0, col):
-                            sparse_entries.append((col, common))
-                else:
-                    common = int(tok)
-                    if sparse_out:
-                        if common > 0 and filt(common, 0, num_read):
-                            sparse_entries.append((num_read, common))
-                    else:
-                        dense[num_read] = common
-                num_read += 1
+                        common = int(tok)
+                        if sparse_out:
+                            if common > 0 and filt(common, 0, num_read):
+                                sparse_entries.append((num_read, common))
+                        else:
+                            dense[num_read] = common
+                    num_read += 1
 
             if row_id == 0:
                 empty_diag = (len(sparse_entries) == 0) if sparse_out \
@@ -337,13 +351,17 @@ def run_distance(p):
                     for col, common in sparse_entries)
                 fout.write(f"{query_name},{out_cells}\n")
             else:
-                n_proc = row_id if triangle else len(dense)
-                vals = (num2str_float(metric(int(dense[j]), query_count,
-                                             db_counts[j], kmer_length))
-                        for j in range(n_proc if not p.phylip_out else num_read))
-                if p.phylip_out:
-                    fout.write(query_name + " "
-                               + "".join(v + " " for v in vals) + "\n")
+                n_out = num_read if p.phylip_out \
+                    else (row_id if triangle else len(dense))
+                delim = " " if p.phylip_out else ","
+                if fast and n_out > 0:
+                    mvals = native.metric_row(
+                        p.metric_name, dense[:n_out], query_count,
+                        db_counts_np[:n_out], kmer_length)
+                    body_out = native.row_double6(mvals, delim).decode()
                 else:
-                    fout.write(query_name + ","
-                               + "".join(v + "," for v in vals) + "\n")
+                    body_out = "".join(
+                        num2str_float(metric(int(dense[j]), query_count,
+                                             db_counts[j], kmer_length))
+                        + delim for j in range(n_out))
+                fout.write(query_name + delim + body_out + "\n")

@@ -92,6 +92,18 @@ def _init():
     lib.kmerdb_cross_apply.argtypes = [ctypes.c_int64, i64p, i64p, u32p,
                                        i64p, u32p, i64p, u32p,
                                        ctypes.c_int64, u32p]
+    cp = ctypes.c_char_p
+    lib.kmerdb_row_dense.restype = ctypes.c_int64
+    lib.kmerdb_row_dense.argtypes = [u32p, ctypes.c_int64, cp]
+    lib.kmerdb_row_sparse.restype = ctypes.c_int64
+    lib.kmerdb_row_sparse.argtypes = [u32p, ctypes.c_int64, cp]
+    lib.kmerdb_row_double6.restype = ctypes.c_int64
+    lib.kmerdb_row_double6.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_char, cp]
+    lib.kmerdb_metric_row.restype = None
+    lib.kmerdb_metric_row.argtypes = [
+        ctypes.c_int32, u32p, ctypes.c_uint32, u32p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_double)]
     _lib = lib
     available = True
 
@@ -274,6 +286,67 @@ def cross_apply(p1: np.ndarray, p2: np.ndarray, counts: np.ndarray,
                             _p(counts, _U32P), _p(off1, _I64P),
                             _p(sids1, _U32P), _p(off2, _I64P),
                             _p(sids2, _U32P), C.shape[1], _p(C, _U32P))
+
+
+_row_buf = bytearray(1 << 20)
+
+
+def _row_capacity(n: int) -> ctypes.c_char_p:
+    global _row_buf
+    need = 32 * n + 64
+    if len(_row_buf) < need:
+        _row_buf = bytearray(max(need, len(_row_buf) * 2))
+    return (ctypes.c_char * len(_row_buf)).from_buffer(_row_buf)
+
+
+def row_dense(vals: np.ndarray) -> bytes:
+    """'<v>,' per value (num2str integer collection semantics)."""
+    _U32P = ctypes.POINTER(ctypes.c_uint32)
+    vals = np.ascontiguousarray(vals, dtype=np.uint32)
+    buf = _row_capacity(vals.size)
+    n = _lib.kmerdb_row_dense(_p(vals, _U32P), vals.size,
+                              ctypes.cast(buf, ctypes.c_char_p))
+    return bytes(_row_buf[:n])
+
+
+def row_sparse(vals: np.ndarray) -> bytes:
+    """'<i+1>:<v>,' per non-zero value (num2str_sparse semantics)."""
+    _U32P = ctypes.POINTER(ctypes.c_uint32)
+    vals = np.ascontiguousarray(vals, dtype=np.uint32)
+    buf = _row_capacity(vals.size)
+    n = _lib.kmerdb_row_sparse(_p(vals, _U32P), vals.size,
+                               ctypes.cast(buf, ctypes.c_char_p))
+    return bytes(_row_buf[:n])
+
+
+def row_double6(vals: np.ndarray, delim: str = ",") -> bytes:
+    """'<Double2PChar(v,6)>,' per value; exact num2str float rendering."""
+    _DP = ctypes.POINTER(ctypes.c_double)
+    vals = np.ascontiguousarray(vals, dtype=np.float64)
+    buf = _row_capacity(vals.size)
+    n = _lib.kmerdb_row_double6(_p(vals, _DP), vals.size,
+                                ctypes.c_char(delim.encode()),
+                                ctypes.cast(buf, ctypes.c_char_p))
+    return bytes(_row_buf[:n])
+
+
+METRIC_IDS = {"jaccard": 0, "min": 1, "max": 2, "cosine": 3, "mash": 4,
+              "ani": 5, "ani-shorter": 6, "mash-query": 7, "num-kmers": 8}
+
+
+def metric_row(metric_name: str, commons: np.ndarray, query_cnt: int,
+               db_cnts: np.ndarray, k: int) -> np.ndarray:
+    """float64 metric values per cell, libm-log parity."""
+    _U32P = ctypes.POINTER(ctypes.c_uint32)
+    _DP = ctypes.POINTER(ctypes.c_double)
+    commons = np.ascontiguousarray(commons, dtype=np.uint32)
+    db_cnts = np.ascontiguousarray(db_cnts, dtype=np.uint32)
+    out = np.empty(commons.size, dtype=np.float64)
+    _lib.kmerdb_metric_row(METRIC_IDS[metric_name], _p(commons, _U32P),
+                           ctypes.c_uint32(query_cnt & 0xFFFFFFFF),
+                           _p(db_cnts, _U32P), commons.size, k,
+                           _p(out, _DP))
+    return out
 
 
 def group_stats(keys: np.ndarray, vals: np.ndarray):

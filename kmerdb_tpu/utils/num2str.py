@@ -46,7 +46,9 @@ def ints_row(values) -> str:
     arr = np.asarray(values)
     if arr.size == 0:
         return ""
-    # np int -> str via python; bulk join is fast enough for row sizes
+    from . import native
+    if native.available:
+        return native.row_dense(arr).decode()
     return "".join(f"{int(v)}," for v in arr)
 
 
@@ -54,6 +56,9 @@ def ints_row_sparse(values) -> str:
     """num2str_sparse: '<i+1>:<v>,' for every non-zero entry
     (conversion.h:286-298)."""
     arr = np.asarray(values)
+    from . import native
+    if native.available:
+        return native.row_sparse(arr).decode()
     idx = np.flatnonzero(arr)
     return "".join(f"{int(i) + 1}:{int(arr[i])}," for i in idx)
 

@@ -499,4 +499,133 @@ int64_t kmerdb_merge_unique_keys(int32_t n_streams, const uint64_t** keys,
     return n_out;
 }
 
+// ---------------------------------------------------------------------------
+// CSV row formatting (parity semantics of utils/num2str.py)
+// ---------------------------------------------------------------------------
+
+static inline char* put_u64(uint64_t v, char* out) {
+    char tmp[20];
+    int n = 0;
+    do { tmp[n++] = (char)('0' + v % 10); v /= 10; } while (v);
+    while (n) *out++ = tmp[--n];
+    return out;
+}
+
+// dense row: "<v>," per value; returns bytes written
+int64_t kmerdb_row_dense(const uint32_t* vals, int64_t n, char* out) {
+    char* p = out;
+    for (int64_t i = 0; i < n; ++i) {
+        p = put_u64(vals[i], p);
+        *p++ = ',';
+    }
+    return p - out;
+}
+
+// sparse row: "<i+1>:<v>," per non-zero value
+int64_t kmerdb_row_sparse(const uint32_t* vals, int64_t n, char* out) {
+    char* p = out;
+    for (int64_t i = 0; i < n; ++i) {
+        if (vals[i]) {
+            p = put_u64((uint64_t)i + 1, p);
+            *p++ = ':';
+            p = put_u64(vals[i], p);
+            *p++ = ',';
+        }
+    }
+    return p - out;
+}
+
+// float row for the distance console: value = metric(common, q, db, k)
+// with the exact Double2PChar(.,6) rendering; metric id selects the
+// formula (utils/filters.py order).  Writes "<render>," per cell of a
+// dense row; zero-valued metric renders "0" (num2str float semantics).
+static inline char* put_double6(double val, char* out) {
+    if (val == 0.0) { *out++ = '0'; return out; }
+    if (val < 0) { *out++ = '-'; val = -val; }
+    uint64_t x = (uint64_t)(val * 1000000.0 + 0.5);
+    if (x < 1000000ULL) {
+        *out++ = '0';
+        *out++ = '.';
+        char tmp[8];
+        int n = 0;
+        uint64_t v = x;
+        do { tmp[n++] = (char)('0' + v % 10); v /= 10; } while (v);
+        for (int i = 0; i < 6 - n; ++i) *out++ = '0';
+        while (n) *out++ = tmp[--n];
+        return out;
+    }
+    char tmp[24];
+    int n = 0;
+    uint64_t v = x;
+    do { tmp[n++] = (char)('0' + v % 10); v /= 10; } while (v);
+    for (int i = n - 1; i >= 0; --i) {
+        *out++ = tmp[i];
+        if (i == 6) *out++ = '.';
+    }
+    return out;
+}
+
+int64_t kmerdb_row_double6(const double* vals, int64_t n, char delim,
+                           char* out) {
+    char* p = out;
+    for (int64_t i = 0; i < n; ++i) {
+        p = put_double6(vals[i], p);
+        *p++ = delim;
+    }
+    return p - out;
+}
+
+// ---------------------------------------------------------------------------
+// distance metrics (params.cpp:15-41 formulas; libm log == the
+// reference's glibc log, which 6-decimal parity can hinge on)
+// ---------------------------------------------------------------------------
+
+enum {
+    M_JACCARD = 0, M_MIN = 1, M_MAX = 2, M_COSINE = 3, M_MASH = 4,
+    M_ANI = 5, M_ANI_SHORTER = 6, M_MASH_QUERY = 7, M_NUM_KMERS = 8,
+};
+
+static inline double eval_metric(int32_t metric, uint32_t common,
+                                 uint32_t cnt1, uint32_t cnt2, int32_t k) {
+    switch (metric) {
+    case M_JACCARD:
+        return (double)common / (uint32_t)(cnt1 + cnt2 - common);
+    case M_MIN:
+        return (double)common / (cnt1 < cnt2 ? cnt1 : cnt2);
+    case M_MAX:
+        return (double)common / (cnt1 > cnt2 ? cnt1 : cnt2);
+    case M_COSINE:
+        return (double)common / __builtin_sqrt((double)(uint32_t)(cnt1 * cnt2));
+    case M_MASH: {
+        double j = (double)common / (uint32_t)(cnt1 + cnt2 - common);
+        if (j == 0) return 1.0;
+        return (-1.0 / k) * __builtin_log((2 * j) / (j + 1));
+    }
+    case M_ANI: {
+        double j = (double)common / (uint32_t)(cnt1 + cnt2 - common);
+        double m = (j == 0) ? 1.0 : (-1.0 / k) * __builtin_log((2 * j) / (j + 1));
+        return 1.0 - m;
+    }
+    case M_ANI_SHORTER: {
+        double j = (double)common / (cnt1 < cnt2 ? cnt1 : cnt2);
+        double m = (j == 0) ? 1.0 : (-1.0 / k) * __builtin_log((2 * j) / (j + 1));
+        return 1.0 - m;
+    }
+    case M_MASH_QUERY: {
+        double j = (double)common / cnt1;
+        if (j == 0) return 1.0;
+        return (-1.0 / k) * __builtin_log((2 * j) / (j + 1));
+    }
+    default:
+        return (double)common;
+    }
+}
+
+void kmerdb_metric_row(int32_t metric, const uint32_t* commons,
+                       uint32_t query_cnt, const uint32_t* db_cnts,
+                       int64_t n, int32_t k, double* out) {
+    for (int64_t i = 0; i < n; ++i)
+        out[i] = eval_metric(metric, commons[i], query_cnt, db_cnts[i], k);
+}
+
 }  // extern "C"
