@@ -48,6 +48,23 @@ def _a2a_sharded(rows, sids, w_full, *, mesh, n_samples, n_limbs):
         out_specs=P())(rows, sids, w_full)
 
 
+def extract_sharded(seqs, lengths, k: int, alphabet_name: str, mesh: Mesh,
+                    fraction: float = 1.0, start: float = 0.0):
+    """Data-parallel k-mer extraction: the padded contig batch is
+    sharded over the mesh's sample axis (the reference's reader-thread
+    pool, loader_ex.cpp:62-66, as SPMD)."""
+    from ..ops.extract import _extract_block_jit
+
+    def step(seqs_l, lens_l):
+        return _extract_block_jit(seqs_l, lens_l, k=k,
+                                  alphabet_name=alphabet_name,
+                                  fraction=fraction, start=start)
+
+    fn = shard_map(step, mesh=mesh, in_specs=(P("shard"), P("shard")),
+                   out_specs=P("shard"))
+    return fn(seqs, lengths)
+
+
 def all2all_counts_sharded(db: KmerPatternDb, mesh: Mesh) -> np.ndarray:
     """Multi-device all2all: patterns split into one slice per device,
     each slice padded to common geometry; partial counts psum-merged."""
