@@ -99,13 +99,26 @@ def all2all_counts(db: KmerPatternDb, chunk: int = _CHUNK) -> np.ndarray:
         return np.zeros((S, S), dtype=np.uint32)
 
     offs = db.pattern_offsets
-    el_pid = db.element_pattern_ids()
     sids = db.pattern_sample_ids
     w = db.pattern_num_kmers
+
+    # tiny workloads: host scatter beats a device round trip (and any
+    # first-shape compile); work = sum over patterns of |set|^2
+    from ..utils import native
+    if native.available:
+        lens = np.diff(offs)
+        host_work = int(np.dot(lens, lens))
+        if host_work < (1 << 29):
+            return native.a2a_dense(offs, sids, w, S)
+
+    el_pid = db.element_pattern_ids()
 
     max_w = int(w.max())
     n_limbs = max(1, (max_w.bit_length() + 7) // 8)
 
+    # cap the B block (PC x S bf16) at ~256 MB so wide-sample databases
+    # don't blow device memory inside the scan
+    chunk = min(chunk, max(1024, (256 << 20) // (2 * S)))
     bounds = _chunk_plan(offs, P, chunk, _CHUNK_E)
     n_chunks = len(bounds) - 1
     E = max(1, max(int(offs[bounds[c + 1]] - offs[bounds[c]])

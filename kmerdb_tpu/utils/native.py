@@ -104,6 +104,9 @@ def _init():
     lib.kmerdb_metric_row.argtypes = [
         ctypes.c_int32, u32p, ctypes.c_uint32, u32p, ctypes.c_int64,
         ctypes.c_int32, ctypes.POINTER(ctypes.c_double)]
+    lib.kmerdb_a2a_dense.restype = None
+    lib.kmerdb_a2a_dense.argtypes = [ctypes.c_int64, i64p, u32p, u32p,
+                                     ctypes.c_int64, u32p]
     _lib = lib
     available = True
 
@@ -328,6 +331,19 @@ def row_double6(vals: np.ndarray, delim: str = ",") -> bytes:
                                 ctypes.c_char(delim.encode()),
                                 ctypes.cast(buf, ctypes.c_char_p))
     return bytes(_row_buf[:n])
+
+
+def a2a_dense(offsets: np.ndarray, sids: np.ndarray, w: np.ndarray,
+              n_samples: int) -> np.ndarray:
+    """Host all2all: full symmetric uint32[S, S] count matrix."""
+    _U32P = ctypes.POINTER(ctypes.c_uint32)
+    C = np.zeros((n_samples, n_samples), dtype=np.uint32)
+    _lib.kmerdb_a2a_dense(w.size,
+                          _p(np.ascontiguousarray(offsets, np.int64), _I64P),
+                          _p(np.ascontiguousarray(sids, np.uint32), _U32P),
+                          _p(np.ascontiguousarray(w, np.uint32), _U32P),
+                          n_samples, _p(C, _U32P))
+    return C
 
 
 METRIC_IDS = {"jaccard": 0, "min": 1, "max": 2, "cosine": 3, "mash": 4,

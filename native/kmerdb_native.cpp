@@ -500,6 +500,24 @@ int64_t kmerdb_merge_unique_keys(int32_t n_streams, const uint64_t** keys,
 }
 
 // ---------------------------------------------------------------------------
+// Host all2all for small workloads (avoids a device round trip when
+// sum(|set|^2) is tiny); same decomposition C += w_p * outer(b_p, b_p)
+// ---------------------------------------------------------------------------
+
+void kmerdb_a2a_dense(int64_t n_patterns, const int64_t* offs,
+                      const uint32_t* sids, const uint32_t* w,
+                      int64_t n_samples, uint32_t* C) {
+    for (int64_t p = 0; p < n_patterns; ++p) {
+        const uint32_t wp = w[p];
+        const int64_t lo = offs[p], hi = offs[p + 1];
+        for (int64_t a = lo; a < hi; ++a) {
+            uint32_t* row = C + (int64_t)sids[a] * n_samples;
+            for (int64_t b = lo; b < hi; ++b) row[sids[b]] += wp;
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
 // CSV row formatting (parity semantics of utils/num2str.py)
 // ---------------------------------------------------------------------------
 

@@ -1,0 +1,92 @@
+"""Edge cases the reference handles (or fixed in its changelog):
+empty samples (version.h:48), contigs shorter than k, all-invalid
+sequences, single-sample databases, empty minhash windows."""
+
+import pathlib
+
+import numpy as np
+
+from kmerdb_tpu.cli.main import main
+from kmerdb_tpu.models.database import KmerPatternDb
+from kmerdb_tpu.models import builder
+from kmerdb_tpu.ops import intersect
+
+
+def test_empty_sample_build_and_all2all(tmp_path):
+    (tmp_path / "a.fasta").write_bytes(b">a\nACGTACGTACGTACGTACGTACGT\n")
+    (tmp_path / "b.fasta").write_bytes(b">b\nACG\n")          # shorter than k
+    (tmp_path / "c.fasta").write_bytes(b">c\nNNNNNNNNNNNNNNNNNNNNNNNN\n")
+    lst = tmp_path / "l.list"
+    lst.write_text(f"{tmp_path}/a.fasta\n{tmp_path}/b.fasta\n{tmp_path}/c.fasta\n")
+    db = str(tmp_path / "x.db")
+    out = str(tmp_path / "x.a2a")
+    assert main(["build", "-k", "18", str(lst), db]) == 0
+    assert main(["all2all", db, out]) == 0
+    lines = pathlib.Path(out).read_text().splitlines()
+    assert len(lines) == 5
+    # empty samples report 0 total k-mers and 0 commons; the ACGT-repeat
+    # sample yields 3 distinct canonical k-mers
+    assert lines[1] == "query-samples,total-kmers,3,0,0,"
+    assert lines[3] == "b.fasta,0,0,"
+    assert lines[4] == "c.fasta,0,0,0,"
+
+
+def test_single_sample_db(tmp_path):
+    (tmp_path / "a.fasta").write_bytes(b">a\n" + b"ACGT" * 20 + b"\n")
+    lst = tmp_path / "l.list"
+    lst.write_text(f"{tmp_path}/a.fasta\n")
+    db = str(tmp_path / "one.db")
+    out = str(tmp_path / "one.a2a")
+    assert main(["build", str(lst), db]) == 0
+    assert main(["all2all", db, out]) == 0
+    lines = pathlib.Path(out).read_text().splitlines()
+    assert lines[2].startswith("a.fasta,")
+
+
+def test_all2all_empty_db():
+    db = KmerPatternDb(kmer_length=18)
+    C = intersect.all2all_counts(db)
+    assert C.shape == (0, 0)
+
+
+def test_add_empty_batch():
+    db = KmerPatternDb(kmer_length=18, fraction=1.0, alphabet_name="nt")
+    db2 = builder.add_samples(db, [("x", np.empty(0, np.uint64))])
+    assert db2.sample_names == ["x"]
+    assert db2.n_kmers == 0
+    C = intersect.all2all_counts(db2)
+    assert C.shape == (1, 1)
+
+
+def test_one2all_empty_query(tmp_path):
+    db = builder.add_samples(
+        KmerPatternDb(kmer_length=3, fraction=1.0, alphabet_name="nt"),
+        [("a", np.array([5, 9], dtype=np.uint64))])
+    sims = intersect.one2all_counts(db, np.empty(0, np.uint64))
+    assert list(sims) == [0]
+
+
+def test_fraction_start_window(tmp_path):
+    """-f-start shifts the minhash window; disjoint windows select
+    disjoint k-mer sets whose union is the f-start=0 double window."""
+    seq = np.random.default_rng(3).choice(list(b"ACGT"), size=5000)
+    (tmp_path / "g.fasta").write_bytes(b">g\n" + bytes(seq.astype(np.uint8)))
+    lst = tmp_path / "l.list"
+    lst.write_text(f"{tmp_path}/g.fasta\n")
+
+    import os
+    cnt = {}
+    for tag, args in {
+        "w1": ["-f", "0.2"],
+        "w2": ["-f", "0.2", "-f-start", "0.2"],
+        "both": ["-f", "0.4"],
+    }.items():
+        db = str(tmp_path / f"{tag}.db")
+        assert main(["build", *args, str(lst), db]) == 0
+        from kmerdb_tpu.io import dbfile
+        cnt[tag] = dbfile.load_db(db, dbfile.EVERYTHING)
+    k1 = set(cnt["w1"].kmers.tolist())
+    k2 = set(cnt["w2"].kmers.tolist())
+    kb = set(cnt["both"].kmers.tolist())
+    assert k1.isdisjoint(k2)
+    assert k1 | k2 == kb
