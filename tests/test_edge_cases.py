@@ -66,6 +66,23 @@ def test_one2all_empty_query(tmp_path):
     assert list(sims) == [0]
 
 
+def test_k31_supported(tmp_path):
+    """k=31 (62-bit k-mers) works without the reference's 2^30-bin
+    hashtable blowup — the flat-tensor design is k-agnostic."""
+    rng = np.random.default_rng(9)
+    for i in range(3):
+        seq = rng.choice(list(b"ACGT"), size=500).astype(np.uint8)
+        (tmp_path / f"g{i}.fasta").write_bytes(b">g\n" + bytes(seq))
+    lst = tmp_path / "l.list"
+    lst.write_text("".join(f"{tmp_path}/g{i}.fasta\n" for i in range(3)))
+    db = str(tmp_path / "k31.db")
+    out = str(tmp_path / "k31.a2a")
+    assert main(["build", "-k", "31", str(lst), db]) == 0
+    assert main(["all2all", db, out]) == 0
+    lines = pathlib.Path(out).read_text().splitlines()
+    assert lines[1].startswith("query-samples,total-kmers,470,")
+
+
 def test_fraction_start_window(tmp_path):
     """-f-start shifts the minhash window; disjoint windows select
     disjoint k-mer sets whose union is the f-start=0 double window."""
