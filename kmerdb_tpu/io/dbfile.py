@@ -3,8 +3,9 @@
 The DB file is the checkpoint artifact, exactly as in the reference
 (SURVEY §5): build writes it, every query mode loads it, -extend loads
 then continues.  The on-disk format is ours (CSV parity is judged on
-outputs, not DB bytes): an uncompressed .npz container whose members
-can be loaded selectively, mirroring the reference's partial
+outputs, not DB bytes): a flat binary container — a JSON header with a
+section table, followed by raw little-endian array bytes — whose
+sections can be loaded selectively, mirroring the reference's partial
 deserialization modes (kmer_db.h:55-60):
 
 * SAMPLES_ONLY   -> metadata + sample table            (SamplesOnly)
@@ -13,6 +14,10 @@ deserialization modes (kmer_db.h:55-60):
 * EVERYTHING     -> + sorted k-mer array + pattern ids (Everything /
                      CompactedHashtables: enough for one2all/new2all/
                      db2db and -extend)
+
+(The previous container was .npz; zipfile CRC32 over the raw arrays
+cost more than the rest of serialization combined.  Old .npz databases
+are still read transparently.)
 """
 
 import json
@@ -27,6 +32,16 @@ PATTERNS = "patterns"
 EVERYTHING = "everything"
 
 _MAGIC = "kmerdb_tpu-db-v1"
+_FLAT_MAGIC = b"KMDBTPU2"
+
+#: sections needed per load mode
+_MODE_SECTIONS = {
+    SAMPLES_ONLY: (),
+    PATTERNS: ("pattern_offsets", "pattern_sample_ids",
+               "pattern_num_kmers"),
+    EVERYTHING: ("pattern_offsets", "pattern_sample_ids",
+                 "pattern_num_kmers", "kmers", "kmer_pattern_ids"),
+}
 
 
 def save_db(db: KmerPatternDb, path: str) -> None:
@@ -40,23 +55,71 @@ def save_db(db: KmerPatternDb, path: str) -> None:
         "n_kmers": db.n_kmers,
         "n_patterns": db.n_patterns,
     }
-    names = "\n".join(db.sample_names)
+    names = "\n".join(db.sample_names).encode()
+    arrays = {
+        "sample_names": np.frombuffer(names, dtype=np.uint8),
+        "sample_kmer_counts": np.ascontiguousarray(db.sample_kmer_counts),
+        "pattern_offsets": np.ascontiguousarray(db.pattern_offsets),
+        "pattern_sample_ids": np.ascontiguousarray(db.pattern_sample_ids),
+        "pattern_num_kmers": np.ascontiguousarray(db.pattern_num_kmers),
+        "kmers": np.ascontiguousarray(db.kmers),
+        "kmer_pattern_ids": np.ascontiguousarray(db.kmer_pattern_ids),
+    }
+    sections = {}
+    offset = 0
+    for name, arr in arrays.items():
+        offset = (offset + 63) & ~63
+        sections[name] = {"dtype": arr.dtype.str, "n": int(arr.size),
+                          "offset": offset}
+        offset += arr.nbytes
+    header = json.dumps({"meta": meta, "sections": sections}).encode()
+    base = len(_FLAT_MAGIC) + 8 + len(header)
     with open(path, "wb") as f:
-        np.savez(f,
-                 meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
-                 sample_names=np.frombuffer(names.encode(), dtype=np.uint8),
-                 sample_kmer_counts=db.sample_kmer_counts,
-                 pattern_offsets=db.pattern_offsets,
-                 pattern_sample_ids=db.pattern_sample_ids,
-                 pattern_num_kmers=db.pattern_num_kmers,
-                 kmers=db.kmers,
-                 kmer_pattern_ids=db.kmer_pattern_ids)
+        f.write(_FLAT_MAGIC)
+        f.write(np.uint64(len(header)).tobytes())
+        f.write(header)
+        for name, arr in arrays.items():
+            pos = base + sections[name]["offset"]
+            f.seek(pos)
+            arr.tofile(f)
 
 
-def load_db(path: str, mode: str = EVERYTHING) -> KmerPatternDb:
+def _load_flat(f, path: str, mode: str) -> KmerPatternDb:
+    hlen = int(np.frombuffer(f.read(8), dtype=np.uint64)[0])
+    hdr = json.loads(f.read(hlen).decode())
+    meta = hdr["meta"]
+    if meta.get("magic") != _MAGIC:
+        raise IOError(f"Not a kmerdb_tpu database: {path}")
+    sections = hdr["sections"]
+    base = len(_FLAT_MAGIC) + 8 + hlen
+
+    def read(name):
+        s = sections[name]
+        f.seek(base + s["offset"])
+        arr = np.fromfile(f, dtype=np.dtype(s["dtype"]), count=s["n"])
+        if arr.size != s["n"]:
+            raise IOError(f"Truncated k-mer database {path}: section "
+                          f"{name} has {arr.size}/{s['n']} items")
+        return arr
+
+    names_blob = read("sample_names").tobytes().decode()
+    db = KmerPatternDb(
+        kmer_length=meta["kmer_length"],
+        fraction=meta["fraction"],
+        start_fraction=meta["start_fraction"],
+        alphabet_name=meta["alphabet"],
+        sample_names=names_blob.split("\n") if names_blob else [],
+        sample_kmer_counts=read("sample_kmer_counts"),
+    )
+    for name in _MODE_SECTIONS[mode]:
+        setattr(db, name, read(name))
+    return db
+
+
+def _load_npz(path: str, mode: str) -> KmerPatternDb:
     try:
         z = np.load(path, allow_pickle=False)
-    except (OSError, zipfile.BadZipFile) as e:
+    except (OSError, ValueError, zipfile.BadZipFile) as e:
         raise IOError(f"Cannot open k-mer database {path}") from e
     with z:
         meta = json.loads(bytes(z["meta"]).decode())
@@ -71,11 +134,19 @@ def load_db(path: str, mode: str = EVERYTHING) -> KmerPatternDb:
             sample_names=names_blob.split("\n") if names_blob else [],
             sample_kmer_counts=z["sample_kmer_counts"],
         )
-        if mode in (PATTERNS, EVERYTHING):
-            db.pattern_offsets = z["pattern_offsets"]
-            db.pattern_sample_ids = z["pattern_sample_ids"]
-            db.pattern_num_kmers = z["pattern_num_kmers"]
-        if mode == EVERYTHING:
-            db.kmers = z["kmers"]
-            db.kmer_pattern_ids = z["kmer_pattern_ids"]
+        for name in _MODE_SECTIONS[mode]:
+            setattr(db, name, z[name])
     return db
+
+
+def load_db(path: str, mode: str = EVERYTHING) -> KmerPatternDb:
+    try:
+        f = open(path, "rb")
+    except OSError as e:
+        raise IOError(f"Cannot open k-mer database {path}") from e
+    with f:
+        magic = f.read(len(_FLAT_MAGIC))
+        if magic == _FLAT_MAGIC:
+            return _load_flat(f, path, mode)
+    # legacy .npz container
+    return _load_npz(path, mode)

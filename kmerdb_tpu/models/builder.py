@@ -41,8 +41,14 @@ _PATTERN_REF = np.int64(1) << np.int64(33)
 _SALT1 = np.uint64(0x9E3779B97F4A7C15)
 _SALT2 = np.uint64(0xC2B2AE3D27D4EB4F)
 
-#: target element count per partition (quantile range of k-mer space)
-_PARTITION_ELEMS = 6_000_000
+#: target element count per partition (quantile range of k-mer space).
+#: merge_groups buckets internally (cache-sized key ranges), so the
+#: partition's job is to bound peak scratch memory — and with it the
+#: page-provisioning cost, which on sandboxed hosts (~30us/page however
+#: provisioned) dominates the cold first build.  Scratch pools are
+#: reused across partitions, so smaller partitions = fewer unique pages;
+#: 8M elements (~128 MB arena) measured fastest cold on the bench host.
+_PARTITION_ELEMS = 8_000_000
 
 
 def _mix64(x: np.ndarray, salt: np.uint64) -> np.ndarray:
@@ -77,6 +83,13 @@ def _dedup_groups(glens: np.ndarray, h1: np.ndarray, h2: np.ndarray):
     Returns (inverse i64[G] group -> pid, first_group i64[P]).
     """
     G = glens.size
+    if native.available:
+        return native.dedup_groups(
+            np.ascontiguousarray(h1, dtype=np.uint64),
+            np.ascontiguousarray(h2, dtype=np.uint64),
+            np.ascontiguousarray(glens.view(np.uint64) if
+                                 glens.dtype == np.int64 else
+                                 glens.astype(np.uint64)))
     with np.errstate(over="ignore"):
         comb = _mix64(h1 ^ ((h2 << np.uint64(17)) | (h2 >> np.uint64(47)))
                       ^ glens.astype(np.uint64), _SALT1)
@@ -170,8 +183,7 @@ def add_samples(db: KmerPatternDb,
                 continue
             merged_vals, gk, gstart, glen_u, h1, h2 = native.merge_groups(
                 sliced_k, sliced_v, cvals, scratch=True)
-            inverse, first_group = _dedup_groups(
-                glen_u.astype(np.int64), h1, h2)
+            inverse, first_group = _dedup_groups(glen_u, h1, h2)
             n_pat = first_group.size
 
             rep_start = np.ascontiguousarray(gstart[first_group])
@@ -218,8 +230,14 @@ def add_samples(db: KmerPatternDb,
                 old_offsets_all = np.zeros(all_len.size + 1, dtype=np.int64)
                 np.cumsum(all_len, out=old_offsets_all[1:])
                 keep_len = all_len[first2]
-                src = _ragged_indices(old_offsets_all[first2], keep_len)
-                flat = flat[src]
+                out_off = np.zeros(first2.size + 1, dtype=np.int64)
+                np.cumsum(keep_len, out=out_off[1:])
+                new_flat = np.empty(out_off[-1], dtype=np.uint32)
+                native.gather_ragged_u32(
+                    np.ascontiguousarray(first2),
+                    old_offsets_all, np.ascontiguousarray(flat),
+                    out_off[:-1].copy(), new_flat)
+                flat = new_flat
                 all_len = keep_len
 
         pattern_offsets = np.zeros(all_len.size + 1, dtype=np.int64)

@@ -107,6 +107,12 @@ def _init():
     lib.kmerdb_a2a_dense.restype = None
     lib.kmerdb_a2a_dense.argtypes = [ctypes.c_int64, i64p, u32p, u32p,
                                      ctypes.c_int64, u32p]
+    lib.kmerdb_dedup_groups.restype = ctypes.c_int64
+    lib.kmerdb_dedup_groups.argtypes = [ctypes.c_int64, u64p, u64p, u64p,
+                                        i64p, i64p]
+    lib.kmerdb_gather_ragged_u32.restype = None
+    lib.kmerdb_gather_ragged_u32.argtypes = [ctypes.c_int64, i64p, i64p,
+                                             u32p, i64p, u32p]
     _lib = lib
     available = True
 
@@ -175,14 +181,40 @@ def sort_unique(keys: np.ndarray) -> np.ndarray:
     return keys[:m]
 
 
+_MADV_POPULATE_WRITE = 23
+
+
+def alloc_array(n: int, dtype, populate: bool = True) -> np.ndarray:
+    """Anonymous-mmap-backed array, optionally bulk-provisioned.
+
+    Page provisioning on sandboxed bench hosts costs ~30us/page however
+    it happens (demand fault or madvise), beyond a small fast initial
+    pool — so the scheme is: populate=True for buffers that will be
+    written densely (one syscall instead of n faults), populate=False
+    for oversized buffers whose tail may never be touched (pay only for
+    pages actually written)."""
+    import mmap as _mmap
+    dtype = np.dtype(dtype)
+    nbytes = max(1, int(n) * dtype.itemsize)
+    mm = _mmap.mmap(-1, nbytes)
+    if populate:
+        try:
+            mm.madvise(_MADV_POPULATE_WRITE)
+        except (OSError, ValueError, AttributeError):
+            pass
+    return np.frombuffer(mm, dtype=np.uint8, count=n * dtype.itemsize
+                         ).view(dtype) if n else np.empty(0, dtype)
+
+
 class _Pool:
-    """Grow-only buffer pool: big scratch arrays are faulted once and
-    reused (fresh pages cost ~50us/page on some sandboxed hosts)."""
+    """Grow-only buffer pool: big scratch arrays are provisioned once
+    (anonymous mmap) and reused forever."""
 
     def __init__(self):
         self._bufs: dict[str, np.ndarray] = {}
 
-    def get(self, tag: str, n: int, dtype) -> np.ndarray:
+    def get(self, tag: str, n: int, dtype, populate: bool = True
+            ) -> np.ndarray:
         dtype = np.dtype(dtype)
         need = n * dtype.itemsize
         buf = self._bufs.get(tag)
@@ -190,7 +222,7 @@ class _Pool:
             cap = max(need, 1 << 20)
             if buf is not None:
                 cap = max(cap, buf.nbytes * 2)
-            self._bufs[tag] = buf = np.empty(cap, dtype=np.uint8)
+            self._bufs[tag] = buf = alloc_array(cap, np.uint8, populate)
         return buf[:need].view(dtype)
 
 
@@ -222,11 +254,13 @@ def merge_groups(key_streams: list[np.ndarray],
 
     if scratch:
         merged_vals = pool.get("mg_merged", total, np.uint64)
-        group_keys = pool.get("mg_gk", total, np.uint64)
-        gstart = pool.get("mg_gs", total, np.int64)
-        glen = pool.get("mg_gl", total, np.uint64)
-        h1 = pool.get("mg_h1", total, np.uint64)
-        h2 = pool.get("mg_h2", total, np.uint64)
+        # group buffers are sized for the worst case (every key unique)
+        # but typically ~20% written: demand-fault only what's used
+        group_keys = pool.get("mg_gk", total, np.uint64, populate=False)
+        gstart = pool.get("mg_gs", total, np.int64, populate=False)
+        glen = pool.get("mg_gl", total, np.uint64, populate=False)
+        h1 = pool.get("mg_h1", total, np.uint64, populate=False)
+        h2 = pool.get("mg_h2", total, np.uint64, populate=False)
     else:
         merged_vals = np.empty(total, dtype=np.uint64)
         group_keys = np.empty(total, dtype=np.uint64)
@@ -363,6 +397,29 @@ def metric_row(metric_name: str, commons: np.ndarray, query_cnt: int,
                            _p(db_cnts, _U32P), commons.size, k,
                            _p(out, _DP))
     return out
+
+
+def dedup_groups(h1: np.ndarray, h2: np.ndarray, glen: np.ndarray):
+    """Pattern dedup by (h1, h2, len) content triple.
+
+    Returns (inverse i64[G] group -> pattern id, first_group i64[P])."""
+    G = h1.size
+    inverse = np.empty(G, dtype=np.int64)
+    first = pool.get("dg_first", G, np.int64)
+    p = _lib.kmerdb_dedup_groups(G, _p(h1, _U64P), _p(h2, _U64P),
+                                 _p(glen, _U64P), _p(inverse, _I64P),
+                                 _p(first, _I64P))
+    return inverse, first[:p].copy()
+
+
+def gather_ragged_u32(sel: np.ndarray, src_off: np.ndarray,
+                      src: np.ndarray, out_off: np.ndarray,
+                      out: np.ndarray) -> None:
+    """out[out_off[i]..] = src[src_off[sel[i]] : src_off[sel[i]+1]]."""
+    _U32P = ctypes.POINTER(ctypes.c_uint32)
+    _lib.kmerdb_gather_ragged_u32(sel.size, _p(sel, _I64P),
+                                  _p(src_off, _I64P), _p(src, _U32P),
+                                  _p(out_off, _I64P), _p(out, _U32P))
 
 
 def group_stats(keys: np.ndarray, vals: np.ndarray):

@@ -11,6 +11,7 @@
 //
 // Exposed as a plain C ABI consumed via ctypes (utils/native.py).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
@@ -41,6 +42,42 @@ void kmerdb_malloc_reuse(void) {
 #if defined(__linux__)
     mallopt(M_MMAP_MAX, 0);
     mallopt(M_TRIM_THRESHOLD, 0x7fffffff);
+#endif
+}
+
+// Grow-only anonymous-mmap arena.  On the sandboxed bench hosts,
+// MADV_POPULATE_WRITE is ~10x faster per page on fresh MAP_ANONYMOUS
+// regions than on brk-heap memory (and ~30x faster than demand
+// faults), so all large scratch lives in mmap arenas provisioned in
+// bulk and reused forever.
+#ifndef MADV_POPULATE_WRITE_
+#define MADV_POPULATE_WRITE_ 23
+#endif
+
+static void* arena_grow(void** buf, size_t* cap, size_t need) {
+#if defined(__linux__)
+    if (*cap >= need) return *buf;
+    if (*buf) munmap(*buf, *cap);
+    size_t ncap = *cap ? *cap : (size_t)1 << 21;
+    while (ncap < need) ncap += ncap / 2 + ((size_t)1 << 21);
+    ncap = (ncap + ((size_t)1 << 21) - 1) & ~(((size_t)1 << 21) - 1);
+    void* p = mmap(nullptr, ncap, PROT_READ | PROT_WRITE,
+                   MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+    if (p == MAP_FAILED) {
+        *buf = nullptr;
+        *cap = 0;
+        return nullptr;
+    }
+    madvise(p, ncap, MADV_POPULATE_WRITE_);
+    *buf = p;
+    *cap = ncap;
+    return p;
+#else
+    if (*cap >= need) return *buf;
+    free(*buf);
+    *buf = malloc(need);
+    *cap = *buf ? need : 0;
+    return *buf;
 #endif
 }
 
@@ -288,6 +325,11 @@ static void merge_runs(const KV* a, int64_t na, const KV* b, int64_t nb,
     else if (j < nb) memcpy(out + o, b + j, (size_t)(nb - j) * sizeof(KV));
 }
 
+// Key-range bucketing: the streams are partitioned at sampled key
+// quantiles so every bucket's records fit in L2; the pairwise merge
+// tree then runs entirely in cache.  Out-of-cache traffic is one
+// materialization pass + one stats pass instead of log2(n_streams)
+// full-size merge passes (the dominant cost on a narrow host).
 int64_t kmerdb_merge_groups(int32_t n_streams, const uint64_t** keys,
                             const uint64_t** vals, const uint64_t* const_val,
                             const int64_t* lens, uint64_t* merged_vals,
@@ -297,77 +339,211 @@ int64_t kmerdb_merge_groups(int32_t n_streams, const uint64_t** keys,
     for (int32_t s = 0; s < n_streams; ++s) total += lens[s];
     if (total == 0) return 0;
 
-    // materialize (key, value) records, then a pairwise merge tree —
-    // sequential and branch-predictable, unlike an n-way heap.
-    // Scratch is persistent (grow-only): fresh pages are expensive on
-    // some sandboxed hosts, reused ones are full-bandwidth.
-    static std::vector<KV> buf_a, buf_b;
-    if ((int64_t)buf_a.size() < total) {
-        buf_a.resize((size_t)total);
-        buf_b.resize((size_t)total);
+    // ---- bucket edges from sampled keys (quantiles of the merged
+    // distribution; k-mer keys are sequence-biased, so fixed top-bit
+    // splits would be unbalanced)
+    const int64_t kTargetBucket = 1 << 16;  // 64k records = 1 MiB of KV
+    int64_t n_buckets = total / kTargetBucket;
+    if (n_buckets > 4096) n_buckets = 4096;
+    if (n_buckets < 1) n_buckets = 1;
+    std::vector<uint64_t> edges;
+    if (n_buckets > 1) {
+        std::vector<uint64_t> sample;
+        const int64_t stride = total / 32768 ? total / 32768 : 1;
+        for (int32_t s = 0; s < n_streams; ++s)
+            for (int64_t i = 0; i < lens[s]; i += stride)
+                sample.push_back(keys[s][i]);
+        // sample stays small (<=~33k): std::sort is fine
+        std::sort(sample.begin(), sample.end());
+        for (int64_t b = 1; b < n_buckets; ++b) {
+            uint64_t e = sample[(size_t)(b * (int64_t)sample.size()
+                                         / n_buckets)];
+            if (edges.empty() || e > edges.back()) edges.push_back(e);
+        }
+        n_buckets = (int64_t)edges.size() + 1;
     }
-    std::vector<int64_t> run_off, run_len;
-    int64_t off = 0;
+    const int64_t nb = n_buckets;
+
+    // ---- per (stream, bucket) split points: cuts[s*(nb+1) + b]
+    std::vector<int64_t> cuts((size_t)n_streams * (nb + 1));
     for (int32_t s = 0; s < n_streams; ++s) {
-        if (lens[s] == 0) continue;
-        KV* dst = buf_a.data() + off;
-        if (vals[s]) {
-            for (int64_t i = 0; i < lens[s]; ++i)
-                dst[i] = {keys[s][i], vals[s][i]};
-        } else {
-            const uint64_t cv = const_val[s];
-            for (int64_t i = 0; i < lens[s]; ++i)
-                dst[i] = {keys[s][i], cv};
+        int64_t* c = cuts.data() + (size_t)s * (nb + 1);
+        c[0] = 0;
+        c[nb] = lens[s];
+        for (int64_t b = 0; b + 1 < nb; ++b) {
+            const uint64_t* lo =
+                std::lower_bound(keys[s] + c[b], keys[s] + lens[s], edges[b]);
+            c[b + 1] = lo - keys[s];
         }
-        run_off.push_back(off);
-        run_len.push_back(lens[s]);
-        off += lens[s];
     }
 
-    KV* src = buf_a.data();
-    KV* dst = buf_b.data();
-    while (run_off.size() > 1) {
-        std::vector<int64_t> noff, nlen;
-        for (size_t r = 0; r + 1 < run_off.size(); r += 2) {
-            merge_runs(src + run_off[r], run_len[r],
-                       src + run_off[r + 1], run_len[r + 1],
-                       dst + run_off[r]);
-            noff.push_back(run_off[r]);
-            nlen.push_back(run_len[r] + run_len[r + 1]);
+    // ---- bucket bases + max bucket size
+    std::vector<int64_t> bucket_base(nb + 1, 0);
+    int64_t max_bucket = 0;
+    for (int64_t b = 0; b < nb; ++b) {
+        int64_t sz = 0;
+        for (int32_t s = 0; s < n_streams; ++s) {
+            const int64_t* c = cuts.data() + (size_t)s * (nb + 1);
+            sz += c[b + 1] - c[b];
         }
-        if (run_off.size() & 1) {
-            // odd run out: copy through
-            size_t r = run_off.size() - 1;
-            memcpy(dst + run_off[r], src + run_off[r],
-                   (size_t)run_len[r] * sizeof(KV));
-            noff.push_back(run_off[r]);
-            nlen.push_back(run_len[r]);
-        }
-        run_off.swap(noff);
-        run_len.swap(nlen);
-        KV* t = src; src = dst; dst = t;
+        bucket_base[b + 1] = bucket_base[b] + sz;
+        if (sz > max_bucket) max_bucket = sz;
     }
 
-    // single pass: emit merged values + per-group stats
+    // persistent scratch (grow-only mmap arenas): fresh pages are
+    // expensive on some sandboxed hosts, reused ones are full-bandwidth
+    static void* arena_buf = nullptr;
+    static size_t arena_cap = 0;
+    static void* scratch_buf = nullptr;
+    static size_t scratch_cap = 0;
+    KV* arena = (KV*)arena_grow(&arena_buf, &arena_cap,
+                                (size_t)total * sizeof(KV));
+    KV* scratch = (KV*)arena_grow(&scratch_buf, &scratch_cap,
+                                  (size_t)max_bucket * sizeof(KV));
+    if (!arena || !scratch) return -1;
+
+    // ---- materialize records bucket-major, streams in order (the
+    // stable tie-break: stream 0 = old database first)
+    {
+        std::vector<int64_t> wp(bucket_base.begin(), bucket_base.end() - 1);
+        for (int32_t s = 0; s < n_streams; ++s) {
+            const int64_t* c = cuts.data() + (size_t)s * (nb + 1);
+            const uint64_t* ks = keys[s];
+            const uint64_t* vs = vals[s];
+            const uint64_t cv = vs ? 0 : const_val[s];
+            for (int64_t b = 0; b < nb; ++b) {
+                KV* dst = arena + wp[b];
+                const int64_t n = c[b + 1] - c[b];
+                if (vs) {
+                    for (int64_t i = 0; i < n; ++i)
+                        dst[i] = {ks[c[b] + i], vs[c[b] + i]};
+                } else {
+                    for (int64_t i = 0; i < n; ++i)
+                        dst[i] = {ks[c[b] + i], cv};
+                }
+                wp[b] += n;
+            }
+        }
+    }
+
+    // ---- per bucket: in-cache pairwise merge tree, then stats
     int64_t g = -1;
-    uint64_t prev_key = 0;
-    for (int64_t i = 0; i < total; ++i) {
-        const uint64_t k = src[i].k, v = src[i].v;
-        if (g < 0 || k != prev_key) {
-            ++g;
-            group_keys[g] = k;
-            gstart[g] = i;
-            glen[g] = 0;
-            h1[g] = 0;
-            h2[g] = 0;
-            prev_key = k;
+    std::vector<int64_t> run_off, run_len, noff, nlen;
+    for (int64_t b = 0; b < nb; ++b) {
+        KV* base = arena + bucket_base[b];
+        const int64_t bsz = bucket_base[b + 1] - bucket_base[b];
+        if (bsz == 0) continue;
+        run_off.clear();
+        run_len.clear();
+        int64_t off = 0;
+        for (int32_t s = 0; s < n_streams; ++s) {
+            const int64_t* c = cuts.data() + (size_t)s * (nb + 1);
+            const int64_t n = c[b + 1] - c[b];
+            if (n == 0) continue;
+            run_off.push_back(off);
+            run_len.push_back(n);
+            off += n;
         }
-        merged_vals[i] = v;
-        glen[g] += 1;
-        h1[g] ^= splitmix(v, 0x9e3779b97f4a7c15ULL);
-        h2[g] += splitmix(v, 0xc2b2ae3d27d4eb4fULL);
+        KV* src = base;
+        KV* dst = scratch;
+        while (run_off.size() > 1) {
+            noff.clear();
+            nlen.clear();
+            for (size_t r = 0; r + 1 < run_off.size(); r += 2) {
+                merge_runs(src + run_off[r], run_len[r],
+                           src + run_off[r + 1], run_len[r + 1],
+                           dst + run_off[r]);
+                noff.push_back(run_off[r]);
+                nlen.push_back(run_len[r] + run_len[r + 1]);
+            }
+            if (run_off.size() & 1) {
+                size_t r = run_off.size() - 1;
+                memcpy(dst + run_off[r], src + run_off[r],
+                       (size_t)run_len[r] * sizeof(KV));
+                noff.push_back(run_off[r]);
+                nlen.push_back(run_len[r]);
+            }
+            run_off.swap(noff);
+            run_len.swap(nlen);
+            std::swap(src, dst);
+        }
+
+        const int64_t out0 = bucket_base[b];
+        uint64_t prev_key = ~src[0].k;
+        for (int64_t i = 0; i < bsz; ++i) {
+            const uint64_t k = src[i].k, v = src[i].v;
+            if (k != prev_key) {
+                ++g;
+                group_keys[g] = k;
+                gstart[g] = out0 + i;
+                glen[g] = 0;
+                h1[g] = 0;
+                h2[g] = 0;
+                prev_key = k;
+            }
+            merged_vals[out0 + i] = v;
+            glen[g] += 1;
+            h1[g] ^= splitmix(v, 0x9e3779b97f4a7c15ULL);
+            h2[g] += splitmix(v, 0xc2b2ae3d27d4eb4fULL);
+        }
     }
     return g + 1;
+}
+
+// ---------------------------------------------------------------------------
+// Pattern dedup by order-invariant content hash
+// ---------------------------------------------------------------------------
+//
+// Groups whose (h1, h2, len) content triples match are the same sample
+// set -> one pattern.  Sort by a combined hash (stable LSD radix), cut
+// runs on any triple change.  inverse[g] = pattern id of group g;
+// first_group[p] = lowest group index of pattern p.  Returns #patterns.
+
+int64_t kmerdb_dedup_groups(int64_t G, const uint64_t* h1,
+                            const uint64_t* h2, const uint64_t* glen,
+                            int64_t* inverse, int64_t* first_group) {
+    if (G == 0) return 0;
+    static void* dd_buf = nullptr;
+    static size_t dd_cap = 0;
+    uint64_t* mem = (uint64_t*)arena_grow(&dd_buf, &dd_cap,
+                                          (size_t)G * 4 * sizeof(uint64_t));
+    if (!mem) return -1;
+    uint64_t* comb = mem;
+    uint64_t* idx = mem + G;
+    uint64_t* tk = mem + 2 * (size_t)G;
+    uint64_t* tv = mem + 3 * (size_t)G;
+    for (int64_t i = 0; i < G; ++i) {
+        uint64_t r = (h2[i] << 17) | (h2[i] >> 47);
+        comb[i] = splitmix(h1[i] ^ r ^ glen[i], 0x9e3779b97f4a7c15ULL);
+        idx[i] = (uint64_t)i;
+    }
+    kmerdb_radix_sort_kv(G, comb, idx, tk, tv);
+    int64_t p = -1;
+    int64_t prev_j = -1;
+    for (int64_t i = 0; i < G; ++i) {
+        const int64_t j = (int64_t)idx[i];
+        const bool boundary =
+            i == 0 || comb[i] != comb[i - 1] || h1[j] != h1[prev_j]
+            || h2[j] != h2[prev_j] || glen[j] != glen[prev_j];
+        if (boundary) first_group[++p] = j;
+        inverse[j] = p;
+        prev_j = j;
+    }
+    return p + 1;
+}
+
+// ---------------------------------------------------------------------------
+// Ragged gather: out[out_off[i]..] = src[src_off[sel[i]]..src_off[sel[i]+1])
+// (CSR compaction after cross-partition pattern dedup)
+// ---------------------------------------------------------------------------
+
+void kmerdb_gather_ragged_u32(int64_t n_sel, const int64_t* sel,
+                              const int64_t* src_off, const uint32_t* src,
+                              const int64_t* out_off, uint32_t* out) {
+    for (int64_t i = 0; i < n_sel; ++i) {
+        const int64_t lo = src_off[sel[i]], hi = src_off[sel[i] + 1];
+        memcpy(out + out_off[i], src + lo, (size_t)(hi - lo) * 4);
+    }
 }
 
 // ---------------------------------------------------------------------------
