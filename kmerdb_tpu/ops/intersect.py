@@ -35,19 +35,13 @@ _CHUNK = 32768
 _CHUNK_E = 1 << 20
 
 
-def _gram_chunk(C, rows, sids, w_full, n_limbs):
-    """C += B^T diag(w) B for one pattern chunk.
+def _gram_chunk(C, B_i8, w_full, n_limbs):
+    """C += B^T diag(w) B for one pattern chunk (XLA limb path).
 
-    rows: int[E] local pattern row of each CSR element (padded -> the
-    dummy row PC whose weight is 0).
-    sids: int[E] sample column of each element.
-    w_full: uint32[PC+1] chunk pattern weights, w_full[PC] == 0.
+    B_i8: int8[P_pad, S_pad] 0/1 incidence (host-built).
+    w_full: uint32[P_pad] chunk pattern weights (0 on pad rows).
     """
-    pc1 = w_full.shape[0]
-    S = C.shape[0]
-    B = jnp.zeros((pc1, S), dtype=jnp.bfloat16)
-    B = B.at[rows.astype(jnp.int32), sids.astype(jnp.int32)].set(
-        jnp.bfloat16(1))
+    B = B_i8.astype(jnp.bfloat16)
     for l in range(n_limbs):
         w_l = ((w_full >> np.uint32(8 * l)) & np.uint32(0xFF)
                ).astype(jnp.bfloat16)
@@ -59,19 +53,37 @@ def _gram_chunk(C, rows, sids, w_full, n_limbs):
     return C
 
 
-@functools.partial(jax.jit, static_argnames=("n_samples", "n_limbs"))
-def _a2a_scan(rows, sids, w_full, *, n_samples, n_limbs):
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("n_limbs", "use_pallas"))
+def _a2a_scan(B_all, w_all, *, n_limbs, use_pallas=False):
     """Whole all2all in ONE dispatch: lax.scan over pattern chunks.
 
-    rows/sids: (n_chunks, E) element arrays; w_full: (n_chunks, PC+1).
+    B_all: int8[n_chunks, P_pad, S_pad] host-built incidence blocks
+    (building B on the host replaces an on-device scatter, which
+    serializes badly on TPU).  w_all: uint32[n_chunks, P_pad].
+    With use_pallas the chunk Gram runs in the fused Pallas TPU kernel
+    (ops/pallas_gram.py): one pass over B tiles for all weight limbs.
+    Returns uint32[S_pad, S_pad]; caller slices the real S.
     """
-    C0 = jnp.zeros((n_samples, n_samples), dtype=jnp.uint32)
+    S_pad = B_all.shape[2]
+    C0 = jnp.zeros((S_pad, S_pad), dtype=jnp.uint32)
 
-    def step(C, chunk):
-        r, s, w = chunk
-        return _gram_chunk(C, r, s, w, n_limbs), None
+    if use_pallas:
+        from . import pallas_gram
 
-    C, _ = jax.lax.scan(step, C0, (rows, sids, w_full))
+        def step(C, chunk):
+            B, w = chunk
+            return C + pallas_gram.gram_u32(B, w[:, None],
+                                            n_limbs=n_limbs), None
+    else:
+        def step(C, chunk):
+            B, w = chunk
+            return _gram_chunk(C, B, w, n_limbs), None
+
+    C, _ = jax.lax.scan(step, C0, (B_all, w_all))
     return C
 
 
@@ -103,12 +115,15 @@ def all2all_counts(db: KmerPatternDb, chunk: int = _CHUNK) -> np.ndarray:
     w = db.pattern_num_kmers
 
     # tiny workloads: host scatter beats a device round trip (and any
-    # first-shape compile); work = sum over patterns of |set|^2
+    # first-shape compile); work = sum over patterns of |set|^2.
+    # KMERDB_A2A_DEVICE=1 forces the device path, =0 forces host.
+    import os
     from ..utils import native
-    if native.available:
+    device_env = os.environ.get("KMERDB_A2A_DEVICE", "")
+    if native.available and device_env != "1":
         lens = np.diff(offs)
         host_work = int(np.dot(lens, lens))
-        if host_work < (1 << 29):
+        if host_work < (1 << 29) or device_env == "0":
             return native.a2a_dense(offs, sids, w, S)
 
     el_pid = db.element_pattern_ids()
@@ -116,32 +131,48 @@ def all2all_counts(db: KmerPatternDb, chunk: int = _CHUNK) -> np.ndarray:
     max_w = int(w.max())
     n_limbs = max(1, (max_w.bit_length() + 7) // 8)
 
-    # cap the B block (PC x S bf16) at ~256 MB so wide-sample databases
-    # don't blow device memory inside the scan
-    chunk = min(chunk, max(1024, (256 << 20) // (2 * S)))
+    from . import pallas_gram
+    from .pallas_gram import on_tpu
+
+    # cap the incidence block (P_pad x S_pad int8) at ~192 MB so
+    # wide-sample databases don't blow device memory inside the scan
+    S_pad = _round_up(S, pallas_gram.TILE)
+    chunk = min(chunk, max(1024, (192 << 20) // S_pad))
     bounds = _chunk_plan(offs, P, chunk, _CHUNK_E)
     n_chunks = len(bounds) - 1
-    E = max(1, max(int(offs[bounds[c + 1]] - offs[bounds[c]])
-                   for c in range(n_chunks)))
-    E = 1 << (E - 1).bit_length()  # pow2 pad: stable jit cache keys
+    max_pc = max(bounds[c + 1] - bounds[c] for c in range(n_chunks))
+    P_pad = _round_up(max_pc, pallas_gram.KT)
 
-    # u16 element encoding halves the host->device transfer; fall back
-    # to i32 for very wide sample sets.
-    idx_t = np.uint16 if (S <= 0xFFFF and chunk <= 0xFFFE) else np.int32
-    rows_all = np.full((n_chunks, E), chunk, dtype=idx_t)
-    sids_all = np.zeros((n_chunks, E), dtype=idx_t)
-    w_all = np.zeros((n_chunks, chunk + 1), dtype=np.uint32)
+    # host-built 0/1 incidence blocks (anonymous-mmap pages arrive
+    # zeroed; only the set bits are written)
+    B_all = native.alloc_array(n_chunks * P_pad * S_pad, np.int8,
+                               populate=False).reshape(
+                                   n_chunks, P_pad, S_pad) \
+        if native.available else np.zeros((n_chunks, P_pad, S_pad), np.int8)
+    w_all = np.zeros((n_chunks, P_pad), dtype=np.uint32)
     for c in range(n_chunks):
         p0, p1 = bounds[c], bounds[c + 1]
         lo, hi = int(offs[p0]), int(offs[p1])
-        nnz = hi - lo
-        rows_all[c, :nnz] = el_pid[lo:hi] - p0
-        sids_all[c, :nnz] = sids[lo:hi]
+        rows_c = (el_pid[lo:hi] - p0).astype(np.int32)
+        cols_c = np.ascontiguousarray(sids[lo:hi], dtype=np.int32)
+        if native.available:
+            native.fill_incidence(rows_c, cols_c, B_all[c])
+        else:
+            B_all[c][rows_c, cols_c] = 1
         w_all[c, :p1 - p0] = w[p0:p1]
 
-    C = _a2a_scan(jnp.asarray(rows_all), jnp.asarray(sids_all),
-                  jnp.asarray(w_all), n_samples=S, n_limbs=n_limbs)
-    return np.asarray(C)
+    args = (jnp.asarray(B_all), jnp.asarray(w_all))
+    if on_tpu():
+        try:
+            C = np.asarray(_a2a_scan(*args, n_limbs=n_limbs,
+                                     use_pallas=True))
+            return C[:S, :S]
+        except Exception:
+            # tunneled TPU kernel compile services can be transiently
+            # unavailable; the XLA limb path computes the same result
+            pass
+    C = np.asarray(_a2a_scan(*args, n_limbs=n_limbs, use_pallas=False))
+    return C[:S, :S]
 
 
 def one2all_counts(db: KmerPatternDb, query_kmers: np.ndarray) -> np.ndarray:

@@ -1,0 +1,115 @@
+"""Pallas TPU kernel: exact uint32 weighted Gram contraction.
+
+The flagship all2all decomposition (SURVEY §3.2, reference
+similarity_calculator.cpp:42-438) reduces to
+
+    C = B^T diag(w) B      C uint32[S, S], B in {0,1}^(P x S), w uint32[P]
+
+The XLA path (ops/intersect.py) runs one bf16 matmul per 8-bit limb of
+w, materializing the scaled operand A = B * w_l in HBM each time.  This
+kernel fuses all limbs over one pass of B tiles: for each output tile
+(i, j) it streams K-blocks of B once, computes every limb's MXU product
+from the same VMEM-resident blocks, and accumulates exactly in uint32.
+
+Exactness: b entries are 0/1 and limb weights < 2^8, both exact in
+bfloat16; each K-block partial sum is < 2^8 * KT << 2^24, so float32
+MXU accumulation is exact; uint32 addition across K-blocks and limb
+recombination (<< 8l) match the reference's num_kmers_t wraparound
+arithmetic (src/types.h:5-27).
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+#: K-block (pattern rows per MXU step); bf16 sublane tile is 16, and
+#: 2^8 * KT must stay < 2^24 for exact f32 accumulation.
+KT = 512
+#: output tile edge (MXU native)
+TILE = 128
+
+
+def on_tpu() -> bool:
+    """True when the default JAX device is a TPU chip (including
+    tunneled platforms like 'axon' whose platform name isn't 'tpu')."""
+    if jax.default_backend() == "tpu":
+        return True
+    try:
+        return "TPU" in jax.devices()[0].device_kind.upper()
+    except Exception:
+        return False
+
+
+def _gram_tile_kernel(w_ref, bi_ref, bj_ref, out_ref, *, n_limbs):
+    """One (i, j, k) grid step: out[i,j] += sum_l (Bi*w_l)^T Bj << 8l."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    w = w_ref[:]              # (KT, 1) uint32
+    # B arrives as int8 0/1; Mosaic has no direct u32/i8 <-> bf16
+    # casts, so hop via int32/float32
+    bi = bi_ref[:].astype(jnp.float32).astype(jnp.bfloat16)
+    bj = bj_ref[:].astype(jnp.float32).astype(jnp.bfloat16)
+    acc = jnp.zeros(out_ref.shape, jnp.uint32)
+    for l in range(n_limbs):
+        wl = ((w >> np.uint32(8 * l)) & np.uint32(0xFF)).astype(
+            jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+        part = jax.lax.dot_general(
+            bi * wl, bj,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = acc + (part.astype(jnp.int32).astype(jnp.uint32)
+                     << np.uint32(8 * l))
+    out_ref[:] += acc
+
+
+def gram_u32(B, w, *, n_limbs: int, interpret: bool | None = None):
+    """C = B^T diag(w) B in exact uint32.
+
+    B: int8 0/1 [P, S] with P % KT == 0 and S % TILE == 0 (caller pads;
+    pad rows must carry w == 0).  w: uint32[P, 1].  Returns u32[S, S].
+    Runs compiled on TPU; elsewhere (CPU test backend) falls back to
+    the Pallas interpreter so the same kernel code is exercised.
+    """
+    if interpret is None:
+        interpret = not on_tpu()
+    P, S = B.shape
+    grid = (S // TILE, S // TILE, P // KT)
+    kernel = functools.partial(_gram_tile_kernel, n_limbs=n_limbs)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((KT, 1), lambda i, j, k: (k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((KT, TILE), lambda i, j, k: (k, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((KT, TILE), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE, TILE), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, S), jnp.uint32),
+        interpret=interpret,
+    )(w, B, B)
+
+
+def gram_u32_reference(B, w, *, n_limbs: int):
+    """Pure-XLA reference of gram_u32 (same limb decomposition)."""
+    Bf = B.astype(jnp.bfloat16)
+    C = jnp.zeros((B.shape[1], B.shape[1]), dtype=jnp.uint32)
+    w = w.reshape(-1)
+    for l in range(n_limbs):
+        wl = ((w >> np.uint32(8 * l)) & np.uint32(0xFF)).astype(jnp.bfloat16)
+        part = jax.lax.dot_general(
+            Bf * wl[:, None], Bf, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        C = C + (part.astype(jnp.uint32) << np.uint32(8 * l))
+    return C

@@ -113,6 +113,10 @@ def _init():
     lib.kmerdb_gather_ragged_u32.restype = None
     lib.kmerdb_gather_ragged_u32.argtypes = [ctypes.c_int64, i64p, i64p,
                                              u32p, i64p, u32p]
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.kmerdb_fill_incidence.restype = None
+    lib.kmerdb_fill_incidence.argtypes = [ctypes.c_int64, i32p, i32p,
+                                          ctypes.c_int64, i8p]
     _lib = lib
     available = True
 
@@ -420,6 +424,14 @@ def gather_ragged_u32(sel: np.ndarray, src_off: np.ndarray,
     _lib.kmerdb_gather_ragged_u32(sel.size, _p(sel, _I64P),
                                   _p(src_off, _I64P), _p(src, _U32P),
                                   _p(out_off, _I64P), _p(out, _U32P))
+
+
+def fill_incidence(rows: np.ndarray, cols: np.ndarray,
+                   B: np.ndarray) -> None:
+    """B[rows[i], cols[i]] = 1 over a zeroed int8 block."""
+    _I32P = ctypes.POINTER(ctypes.c_int32)
+    _lib.kmerdb_fill_incidence(rows.size, _p(rows, _I32P),
+                               _p(cols, _I32P), B.shape[1], _p(B, _I8P))
 
 
 def group_stats(keys: np.ndarray, vals: np.ndarray):

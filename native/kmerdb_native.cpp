@@ -547,6 +547,19 @@ void kmerdb_gather_ragged_u32(int64_t n_sel, const int64_t* sel,
 }
 
 // ---------------------------------------------------------------------------
+// Dense incidence fill: B[rows[i], cols[i]] = 1 over a zeroed block
+// (host-side build of the pattern-chunk incidence matrix consumed by
+// the device Gram kernels; replaces a serialized on-device scatter)
+// ---------------------------------------------------------------------------
+
+void kmerdb_fill_incidence(int64_t n_el, const int32_t* rows,
+                           const int32_t* cols, int64_t n_cols,
+                           int8_t* out) {
+    for (int64_t i = 0; i < n_el; ++i)
+        out[(int64_t)rows[i] * n_cols + cols[i]] = 1;
+}
+
+// ---------------------------------------------------------------------------
 // Pattern CSR fill
 // ---------------------------------------------------------------------------
 //

@@ -44,7 +44,7 @@ def test_host_matches_device(seed, S, P):
     np.testing.assert_array_equal(dev, want)
 
 
-def _device_a2a(db):
+def _device_a2a(db, chunk=64, use_pallas=False):
     import jax.numpy as jnp
     offs = db.pattern_offsets
     P = db.n_patterns
@@ -52,23 +52,24 @@ def _device_a2a(db):
     el_pid = db.element_pattern_ids()
     w = db.pattern_num_kmers
     n_limbs = max(1, (int(w.max()).bit_length() + 7) // 8)
-    chunk = 64  # force multiple chunks
     bounds = intersect._chunk_plan(offs, P, chunk, 1 << 20)
     n_chunks = len(bounds) - 1
-    E = max(1, max(int(offs[bounds[c + 1]] - offs[bounds[c]])
-                   for c in range(n_chunks)))
-    rows = np.full((n_chunks, E), chunk, dtype=np.int32)
-    cols = np.zeros((n_chunks, E), dtype=np.int32)
-    w_all = np.zeros((n_chunks, chunk + 1), dtype=np.uint32)
+    max_pc = max(bounds[c + 1] - bounds[c] for c in range(n_chunks))
+    from kmerdb_tpu.ops import pallas_gram
+    P_pad = intersect._round_up(max_pc, pallas_gram.KT) if use_pallas \
+        else max_pc
+    S_pad = intersect._round_up(S, pallas_gram.TILE) if use_pallas else S
+    B_all = np.zeros((n_chunks, P_pad, S_pad), dtype=np.int8)
+    w_all = np.zeros((n_chunks, P_pad), dtype=np.uint32)
     for c in range(n_chunks):
         p0, p1 = bounds[c], bounds[c + 1]
         lo, hi = int(offs[p0]), int(offs[p1])
-        rows[c, :hi - lo] = el_pid[lo:hi] - p0
-        cols[c, :hi - lo] = db.pattern_sample_ids[lo:hi]
+        B_all[c][el_pid[lo:hi] - p0, db.pattern_sample_ids[lo:hi]] = 1
         w_all[c, :p1 - p0] = w[p0:p1]
-    return np.asarray(intersect._a2a_scan(
-        jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(w_all),
-        n_samples=S, n_limbs=n_limbs))
+    C = np.asarray(intersect._a2a_scan(
+        jnp.asarray(B_all), jnp.asarray(w_all),
+        n_limbs=n_limbs, use_pallas=use_pallas))
+    return C[:S, :S]
 
 
 @pytest.mark.skipif(not native.available, reason="no native lib")
