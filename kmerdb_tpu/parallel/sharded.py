@@ -20,12 +20,12 @@ from jax import shard_map
 from ..models.database import KmerPatternDb
 
 
-def _local_gram(rows, sids, w_full, n_samples, n_limbs):
-    """Partial C over this device's pattern slice (cf. ops/intersect)."""
-    pc1 = w_full.shape[0]
-    B = jnp.zeros((pc1, n_samples), dtype=jnp.bfloat16)
-    B = B.at[rows, sids].set(jnp.bfloat16(1))
-    C = jnp.zeros((n_samples, n_samples), dtype=jnp.uint32)
+def _local_gram(B_i8, w_full, n_limbs):
+    """Partial C over this device's pattern slice (cf. ops/intersect:
+    host-built int8 incidence block, per-limb bf16 MXU contractions)."""
+    B = B_i8.astype(jnp.bfloat16)
+    S = B.shape[1]
+    C = jnp.zeros((S, S), dtype=jnp.uint32)
     for l in range(n_limbs):
         w_l = ((w_full >> np.uint32(8 * l)) & np.uint32(0xFF)).astype(jnp.bfloat16)
         A = B * w_l[:, None]
@@ -36,16 +36,16 @@ def _local_gram(rows, sids, w_full, n_samples, n_limbs):
     return C
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "n_samples", "n_limbs"))
-def _a2a_sharded(rows, sids, w_full, *, mesh, n_samples, n_limbs):
-    def step(rows_l, sids_l, w_l):
-        C = _local_gram(rows_l[0], sids_l[0], w_l[0], n_samples, n_limbs)
+@functools.partial(jax.jit, static_argnames=("mesh", "n_limbs"))
+def _a2a_sharded(B_all, w_full, *, mesh, n_limbs):
+    def step(B_l, w_l):
+        C = _local_gram(B_l[0], w_l[0], n_limbs)
         return jax.lax.psum(C, "shard")
 
     return shard_map(
         step, mesh=mesh,
-        in_specs=(P("shard"), P("shard"), P("shard")),
-        out_specs=P())(rows, sids, w_full)
+        in_specs=(P("shard"), P("shard")),
+        out_specs=P())(B_all, w_full)
 
 
 def extract_sharded(seqs, lengths, k: int, alphabet_name: str, mesh: Mesh,
@@ -83,21 +83,21 @@ def all2all_counts_sharded(db: KmerPatternDb, mesh: Mesh) -> np.ndarray:
 
     per_dev = (P_n + D - 1) // D
     bounds = [min(P_n, d * per_dev) for d in range(D + 1)]
-    E = max(1, max(int(offs[bounds[d + 1]] - offs[bounds[d]])
-                   for d in range(D)))
 
-    rows_all = np.full((D, E), per_dev, dtype=np.int32)  # dummy row
-    sids_all = np.zeros((D, E), dtype=np.int32)
-    w_all = np.zeros((D, per_dev + 1), dtype=np.uint32)
+    from ..utils import native
+    B_all = np.zeros((D, per_dev, S), dtype=np.int8)
+    w_all = np.zeros((D, per_dev), dtype=np.uint32)
     for d in range(D):
         p0, p1 = bounds[d], bounds[d + 1]
         lo, hi = int(offs[p0]), int(offs[p1])
-        nnz = hi - lo
-        rows_all[d, :nnz] = el_pid[lo:hi] - p0
-        sids_all[d, :nnz] = sids[lo:hi]
+        rows_d = (el_pid[lo:hi] - p0).astype(np.int32)
+        cols_d = np.ascontiguousarray(sids[lo:hi], dtype=np.int32)
+        if native.available:
+            native.fill_incidence(rows_d, cols_d, B_all[d])
+        else:
+            B_all[d][rows_d, cols_d] = 1
         w_all[d, :p1 - p0] = w[p0:p1]
 
-    C = _a2a_sharded(jnp.asarray(rows_all), jnp.asarray(sids_all),
-                     jnp.asarray(w_all), mesh=mesh, n_samples=S,
+    C = _a2a_sharded(jnp.asarray(B_all), jnp.asarray(w_all), mesh=mesh,
                      n_limbs=n_limbs)
     return np.asarray(C)
