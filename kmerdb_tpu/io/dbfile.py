@@ -96,10 +96,14 @@ def _load_flat(f, path: str, mode: str) -> KmerPatternDb:
     def read(name):
         s = sections[name]
         f.seek(base + s["offset"])
-        arr = np.fromfile(f, dtype=np.dtype(s["dtype"]), count=s["n"])
-        if arr.size != s["n"]:
+        # read into a bulk-provisioned buffer: np.fromfile's fresh
+        # malloc pages fault one-by-one on sandboxed hosts
+        from ..utils.native import alloc_array
+        arr = alloc_array(s["n"], np.dtype(s["dtype"]))
+        got = f.readinto(memoryview(arr.view(np.uint8))) if arr.size else 0
+        if got != arr.nbytes:
             raise IOError(f"Truncated k-mer database {path}: section "
-                          f"{name} has {arr.size}/{s['n']} items")
+                          f"{name} has {got}/{arr.nbytes} bytes")
         return arr
 
     names_blob = read("sample_names").tobytes().decode()

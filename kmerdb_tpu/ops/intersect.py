@@ -183,24 +183,35 @@ def one2all_counts(db: KmerPatternDb, query_kmers: np.ndarray) -> np.ndarray:
     sims = np.zeros(S, dtype=np.uint32)
     if query_kmers.size == 0 or db.n_kmers == 0:
         return sims
+    offs = np.ascontiguousarray(db.pattern_offsets, dtype=np.int64)
+    from ..utils import native
+    if native.available:
+        pids = native.one2all_probe(
+            np.ascontiguousarray(query_kmers),
+            np.ascontiguousarray(db.kmers),
+            np.ascontiguousarray(db.kmer_pattern_ids, dtype=np.int32))
+        if pids.size == 0:
+            return sims
+        # run-length count of sorted hit pids (avoids a bincount
+        # zeroing n_patterns counters per query)
+        pids = np.sort(pids)
+        boundary = np.empty(pids.size, dtype=bool)
+        boundary[0] = True
+        np.not_equal(pids[1:], pids[:-1], out=boundary[1:])
+        starts = np.flatnonzero(boundary)
+        nz = pids[starts].astype(np.int64)
+        counts = np.diff(np.append(starts, pids.size)).astype(np.uint32)
+        native.csr_apply(np.ascontiguousarray(nz), counts, offs,
+                         np.ascontiguousarray(db.pattern_sample_ids,
+                                              dtype=np.uint32),
+                         sims)
+        return sims
     idx = np.searchsorted(db.kmers, query_kmers)
     idx[idx >= db.n_kmers] = db.n_kmers - 1
     found = db.kmers[idx] == query_kmers
     pids = db.kmer_pattern_ids[idx[found]]
     pat_counts = np.bincount(pids, minlength=db.n_patterns)
-
     nz = np.flatnonzero(pat_counts)
-    offs = np.ascontiguousarray(db.pattern_offsets, dtype=np.int64)
-    from ..utils import native
-    if native.available:
-        native.csr_apply(np.ascontiguousarray(nz, dtype=np.int64),
-                         np.ascontiguousarray(pat_counts[nz],
-                                              dtype=np.uint32),
-                         offs,
-                         np.ascontiguousarray(db.pattern_sample_ids,
-                                              dtype=np.uint32),
-                         sims)
-        return sims
     for p in nz:
         cnt = np.uint32(pat_counts[p])
         seg = db.pattern_sample_ids[offs[p]:offs[p + 1]]

@@ -117,6 +117,9 @@ def _init():
     lib.kmerdb_fill_incidence.restype = None
     lib.kmerdb_fill_incidence.argtypes = [ctypes.c_int64, i32p, i32p,
                                           ctypes.c_int64, i8p]
+    lib.kmerdb_one2all_probe.restype = ctypes.c_int64
+    lib.kmerdb_one2all_probe.argtypes = [ctypes.c_int64, u64p,
+                                         ctypes.c_int64, u64p, i32p, i32p]
     _lib = lib
     available = True
 
@@ -424,6 +427,18 @@ def gather_ragged_u32(sel: np.ndarray, src_off: np.ndarray,
     _lib.kmerdb_gather_ragged_u32(sel.size, _p(sel, _I64P),
                                   _p(src_off, _I64P), _p(src, _U32P),
                                   _p(out_off, _I64P), _p(out, _U32P))
+
+
+def one2all_probe(query: np.ndarray, kmers: np.ndarray,
+                  pids: np.ndarray) -> np.ndarray:
+    """Pattern ids of every sorted-unique query k-mer present in the
+    sorted database array (galloping merge)."""
+    _I32P = ctypes.POINTER(ctypes.c_int32)
+    out = pool.get("o2a_hits", query.size, np.int32, populate=False)
+    h = _lib.kmerdb_one2all_probe(query.size, _p(query, _U64P),
+                                  kmers.size, _p(kmers, _U64P),
+                                  _p(pids, _I32P), _p(out, _I32P))
+    return out[:h]
 
 
 def fill_incidence(rows: np.ndarray, cols: np.ndarray,

@@ -547,6 +547,37 @@ void kmerdb_gather_ragged_u32(int64_t n_sel, const int64_t* sel,
 }
 
 // ---------------------------------------------------------------------------
+// one2all membership probe: galloping sorted-vs-sorted lookup
+// ---------------------------------------------------------------------------
+//
+// Both the query array and the database k-mer array are sorted unique;
+// consecutive queries land monotonically later in the database, so each
+// lookup gallops forward from the previous hit position instead of
+// bisecting the whole array (reference one2all probes a hashtable per
+// k-mer, similarity_calculator.cpp:679-706).  Emits the pattern id of
+// every query present in the database; returns the hit count.
+
+int64_t kmerdb_one2all_probe(int64_t nq, const uint64_t* q, int64_t n,
+                             const uint64_t* kmers, const int32_t* pids,
+                             int32_t* hit_pids) {
+    int64_t pos = 0, h = 0;
+    for (int64_t i = 0; i < nq && pos < n; ++i) {
+        const uint64_t key = q[i];
+        int64_t lo = pos, step = 1;
+        while (lo + step < n && kmers[lo + step] < key) {
+            lo += step;
+            step <<= 1;
+        }
+        int64_t hi = lo + step;
+        if (hi > n) hi = n;
+        const uint64_t* p = std::lower_bound(kmers + lo, kmers + hi, key);
+        pos = p - kmers;
+        if (pos < n && kmers[pos] == key) hit_pids[h++] = pids[pos];
+    }
+    return h;
+}
+
+// ---------------------------------------------------------------------------
 // Dense incidence fill: B[rows[i], cols[i]] = 1 over a zeroed block
 // (host-side build of the pattern-chunk incidence matrix consumed by
 // the device Gram kernels; replaces a serialized on-device scatter)
