@@ -114,8 +114,12 @@ def all2all_counts(db: KmerPatternDb, chunk: int = _CHUNK) -> np.ndarray:
     sids = db.pattern_sample_ids
     w = db.pattern_num_kmers
 
-    # tiny workloads: host scatter beats a device round trip (and any
-    # first-shape compile); work = sum over patterns of |set|^2.
+    # Path choice: work = sum over patterns of |set|^2 (the scatter op
+    # count).  The host C++ kernel does ~0.5-1e9 adds/s with zero
+    # startup; the device path is far faster warm but pays a one-time
+    # XLA/Mosaic compile per shape (O(10s) on TPU VMs, minutes through
+    # tunneled remote-compile services) — so short-lived CLI runs stay
+    # on the host until the work is large enough to amortize a compile.
     # KMERDB_A2A_DEVICE=1 forces the device path, =0 forces host.
     import os
     from ..utils import native
@@ -123,7 +127,7 @@ def all2all_counts(db: KmerPatternDb, chunk: int = _CHUNK) -> np.ndarray:
     if native.available and device_env != "1":
         lens = np.diff(offs)
         host_work = int(np.dot(lens, lens))
-        if host_work < (1 << 29) or device_env == "0":
+        if host_work < (1 << 36) or device_env == "0":
             return native.a2a_dense(offs, sids, w, S)
 
     el_pid = db.element_pattern_ids()

@@ -107,6 +107,8 @@ def _init():
     lib.kmerdb_a2a_dense.restype = None
     lib.kmerdb_a2a_dense.argtypes = [ctypes.c_int64, i64p, u32p, u32p,
                                      ctypes.c_int64, u32p]
+    lib.kmerdb_symmetrize_u32.restype = None
+    lib.kmerdb_symmetrize_u32.argtypes = [ctypes.c_int64, u32p]
     lib.kmerdb_dedup_groups.restype = ctypes.c_int64
     lib.kmerdb_dedup_groups.argtypes = [ctypes.c_int64, u64p, u64p, u64p,
                                         i64p, i64p]
@@ -376,7 +378,10 @@ def row_double6(vals: np.ndarray, delim: str = ",") -> bytes:
 
 def a2a_dense(offsets: np.ndarray, sids: np.ndarray, w: np.ndarray,
               n_samples: int) -> np.ndarray:
-    """Host all2all: full symmetric uint32[S, S] count matrix."""
+    """Host all2all: full symmetric uint32[S, S] count matrix.
+
+    The kernel writes the lower triangle + diagonal (half the scatter
+    work); the symmetrize pass mirrors it."""
     _U32P = ctypes.POINTER(ctypes.c_uint32)
     C = np.zeros((n_samples, n_samples), dtype=np.uint32)
     _lib.kmerdb_a2a_dense(w.size,
@@ -384,6 +389,7 @@ def a2a_dense(offsets: np.ndarray, sids: np.ndarray, w: np.ndarray,
                           _p(np.ascontiguousarray(sids, np.uint32), _U32P),
                           _p(np.ascontiguousarray(w, np.uint32), _U32P),
                           n_samples, _p(C, _U32P))
+    _lib.kmerdb_symmetrize_u32(n_samples, _p(C, _U32P))
     return C
 
 

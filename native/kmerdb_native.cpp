@@ -724,6 +724,10 @@ int64_t kmerdb_merge_unique_keys(int32_t n_streams, const uint64_t** keys,
 // sum(|set|^2) is tiny); same decomposition C += w_p * outer(b_p, b_p)
 // ---------------------------------------------------------------------------
 
+// Emits the lower triangle + diagonal only (sample ids within a
+// pattern are ascending, so b <= a stays in-row ascending); the
+// caller mirrors C afterwards.  Halves the scatter work of the full
+// symmetric update.
 void kmerdb_a2a_dense(int64_t n_patterns, const int64_t* offs,
                       const uint32_t* sids, const uint32_t* w,
                       int64_t n_samples, uint32_t* C) {
@@ -732,7 +736,20 @@ void kmerdb_a2a_dense(int64_t n_patterns, const int64_t* offs,
         const int64_t lo = offs[p], hi = offs[p + 1];
         for (int64_t a = lo; a < hi; ++a) {
             uint32_t* row = C + (int64_t)sids[a] * n_samples;
-            for (int64_t b = lo; b < hi; ++b) row[sids[b]] += wp;
+            for (int64_t b = lo; b <= a; ++b) row[sids[b]] += wp;
+        }
+    }
+}
+
+// in-place symmetrize: C[i][j] and C[j][i] <- C[i][j] + C[j][i] for
+// i != j (uint32 wraparound preserved)
+void kmerdb_symmetrize_u32(int64_t n, uint32_t* C) {
+    for (int64_t i = 1; i < n; ++i) {
+        uint32_t* ri = C + i * n;
+        for (int64_t j = 0; j < i; ++j) {
+            const uint32_t t = ri[j] + C[j * n + i];
+            ri[j] = t;
+            C[j * n + i] = t;
         }
     }
 }
