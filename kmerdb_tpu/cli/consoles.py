@@ -59,7 +59,8 @@ def run_build(p):
     batch = []
     for s in iter_samples(samples_arg, p.input_format, kmer_length,
                           fraction, fraction_start, alphabet_name,
-                          p.multisample_fasta):
+                          p.multisample_fasta,
+                          num_threads=p.num_threads):
         if db.kmer_length == 0:
             # first sample fixes k/fraction (AbstractKmerDb::addKmers,
             # kmer_db.h:112-125) — relevant for minhash/KMC inputs
@@ -88,7 +89,8 @@ def run_minhash(p):
         raise UsageError(p.mode)
     for s in iter_samples(p.files[0], p.input_format, p.kmer_length,
                           p.fraction, p.fraction_start, p.alphabet_name,
-                          p.multisample_fasta):
+                          p.multisample_fasta,
+                          num_threads=p.num_threads):
         # store next to the input path (console_minhash.cpp:45); stored
         # fraction is the CLI fraction
         minhash_file.store(s.path, s.kmers, s.kmer_length, p.fraction)
@@ -105,11 +107,19 @@ def _matrix_filter(p, db, query_counts=None):
 
 
 def run_all2all(p):
+    import time
+    from ..utils import log
     if len(p.files) != 2:
         raise UsageError(p.mode)
     db_filename, out_filename = p.files
+    t0 = time.perf_counter()
     db = dbfile.load_db(db_filename, dbfile.PATTERNS)
+    t1 = time.perf_counter()
+    log.verbose(f"Database loaded in {t1 - t0:.3f}s: "
+                f"{db.n_samples} samples, {db.n_patterns} patterns")
     C = intersect.all2all_counts(db)
+    t2 = time.perf_counter()
+    log.verbose(f"Similarity matrix computed in {t2 - t1:.3f}s")
 
     with open(out_filename, "w", newline="") as ofs:
         ofs.write(csvio.matrix_header(db.kmer_length, db.fraction,
@@ -198,7 +208,8 @@ def run_new2all(p):
         ofs.write(csvio.totals_row(db.sample_kmer_counts))
         for s in iter_samples(samples_arg, p.input_format, db.kmer_length,
                               db.fraction, db.start_fraction,
-                              db.alphabet_name, p.multisample_fasta):
+                              db.alphabet_name, p.multisample_fasta,
+                              num_threads=p.num_threads):
             kmers = np.unique(s.kmers)
             sims = intersect.one2all_counts(db, kmers)
             cnt = int(kmers.size)
