@@ -76,6 +76,10 @@ def run_build(p):
     if batch or db.n_samples == 0:
         db = builder.add_samples(db, batch)
     t2 = time.perf_counter()
+    if db.n_samples == 0:
+        _log(p, "WARNING: no samples were ingested (check input paths; "
+                "relative list entries resolve against the working "
+                "directory)")
     dbfile.save_db(db, db_filename)
     if timing:
         _log(p, f"TIMING ingest={t1 - t0:.2f}s add={t2 - t1:.2f}s "

@@ -250,3 +250,71 @@ def test_minhash_roundtrip(tmp_path):
     ref(["all2all", rdb, ra])
     ours(["all2all", odb, oa])
     _cmp(ra, oa, "all2all from minhash")
+
+
+def _parse_sparse(path):
+    """{row_name: {col_index: value}} of a sparse common table."""
+    rows = {}
+    lines = pathlib.Path(path).read_text().splitlines()
+    for line in lines[2:]:
+        toks = line.split(",")
+        cells = {}
+        for t in toks[2:]:
+            if t:
+                c, v = t.split(":")
+                cells[int(c)] = int(v)
+        rows[toks[0]] = cells
+    return rows
+
+
+def test_all2all_sp_sampling(tmp_path):
+    """all2all-sp with -sample-rows.
+
+    'best' (criterion heap, ties by item id) is deterministic and must
+    match the reference byte-for-byte.  'random' cannot be byte-matched:
+    the reference's draw sequence depends on its hash-table memory
+    layout and pattern-creation history (add_to_sampler iterates
+    hash_map_lp slots, array.h:493), which are implementation artifacts
+    — so for 'random' the check is structural: every sampled cell must
+    carry the exact full-matrix value and every row must keep
+    min(N, row population) cells, for BOTH tools."""
+    rng = np.random.default_rng(81)
+    lst = _random_corpus(tmp_path, rng, n=10)
+    rdb, odb = str(tmp_path / "r.db"), str(tmp_path / "o.db")
+    ref(["build", "-k", "15", lst, rdb])
+    ours(["build", "-k", "15", lst, odb])
+
+    for tag, args in [
+        ("plain", []),
+        ("best", ["-sample-rows", "jaccard:3"]),
+        ("best+filter", ["-sample-rows", "mash:2", "-min", "1"]),
+    ]:
+        rs = str(tmp_path / f"r.{tag}.sp")
+        os_ = str(tmp_path / f"o.{tag}.sp")
+        ref(["all2all-sp", *args, rdb, rs])
+        ours(["all2all-sp", *args, odb, os_])
+        _cmp(rs, os_, f"all2all-sp {tag}")
+
+    # random sampling: structural equivalence
+    full = _parse_sparse(str(tmp_path / "r.plain.sp"))
+    # full matrix incl. transposed feeds: row gets (i, j) and (j, i)
+    names = list(full.keys())
+    sym = {n: dict(c) for n, c in full.items()}
+    for i, n in enumerate(names):
+        for c, v in full[n].items():
+            sym[names[c - 1]][i + 1] = v
+    N = 4
+    rr = str(tmp_path / "r.rand.sp")
+    oo = str(tmp_path / "o.rand.sp")
+    ref(["all2all-sp", "-sample-rows", str(N), rdb, rr])
+    ours(["all2all-sp", "-sample-rows", str(N), odb, oo])
+    for tool, out in (("ref", rr), ("ours", oo)):
+        got = _parse_sparse(out)
+        assert set(got) == set(sym), f"{tool}: row set differs"
+        for name, cells in got.items():
+            want = sym[name]
+            assert len(cells) == min(N, len(want)), \
+                f"{tool}: row {name} kept {len(cells)}/{min(N, len(want))}"
+            for c, v in cells.items():
+                assert want.get(c) == v, \
+                    f"{tool}: row {name} cell {c} value {v} != {want.get(c)}"
