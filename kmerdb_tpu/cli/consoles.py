@@ -210,23 +210,38 @@ def run_new2all(p):
         ofs.write(csvio.matrix_header(db.kmer_length, db.fraction,
                                       db.sample_names))
         ofs.write(csvio.totals_row(db.sample_kmer_counts))
+
+        def flush(names, queries):
+            # batched contraction (MXU H @ B when KMERDB_N2A_DEVICE=1,
+            # per-query galloping probes otherwise); rows stay in
+            # input order either way
+            M = intersect.many2all_counts(db, queries)
+            for i, (name, q) in enumerate(zip(names, queries)):
+                sims = M[i]
+                cnt = int(q.size)
+                if p.sparse_out:
+                    filt = _matrix_filter(
+                        p, db, query_counts=np.array([cnt], dtype=np.uint32))
+                    pairs = []
+                    for j in np.flatnonzero(sims):
+                        if filt(int(sims[j]), 0, int(j)):
+                            pairs.append((int(j) + 1, int(sims[j])))
+                    ofs.write(csvio.sparse_row_pairs(name, cnt, pairs))
+                else:
+                    ofs.write(csvio.dense_row(name, cnt, sims))
+
+        names, queries = [], []
         for s in iter_samples(samples_arg, p.input_format, db.kmer_length,
                               db.fraction, db.start_fraction,
                               db.alphabet_name, p.multisample_fasta,
                               num_threads=p.num_threads):
-            kmers = np.unique(s.kmers)
-            sims = intersect.one2all_counts(db, kmers)
-            cnt = int(kmers.size)
-            if p.sparse_out:
-                filt = _matrix_filter(
-                    p, db, query_counts=np.array([cnt], dtype=np.uint32))
-                pairs = []
-                for j in np.flatnonzero(sims):
-                    if filt(int(sims[j]), 0, int(j)):
-                        pairs.append((int(j) + 1, int(sims[j])))
-                ofs.write(csvio.sparse_row_pairs(s.name, cnt, pairs))
-            else:
-                ofs.write(csvio.dense_row(s.name, cnt, sims))
+            names.append(s.name)
+            queries.append(np.unique(s.kmers))
+            if len(names) >= 512:
+                flush(names, queries)
+                names, queries = [], []
+        if names:
+            flush(names, queries)
 
 
 def run_one2all(p):

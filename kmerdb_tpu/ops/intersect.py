@@ -223,6 +223,136 @@ def one2all_counts(db: KmerPatternDb, query_kmers: np.ndarray) -> np.ndarray:
     return sims
 
 
+@functools.partial(jax.jit, static_argnames=("n_limbs", "use_pallas"))
+def _m2a_scan(H_all, B_all, *, n_limbs, use_pallas=False):
+    """sims = H @ B accumulated over pattern chunks in one dispatch.
+
+    H_all: uint32[n_chunks, Q_pad, P_pad] per-chunk hit counts;
+    B_all: int8[n_chunks, P_pad, S_pad] incidence blocks.
+    """
+    from . import pallas_gram
+    Q_pad = H_all.shape[1]
+    S_pad = B_all.shape[2]
+    C0 = jnp.zeros((Q_pad, S_pad), dtype=jnp.uint32)
+
+    if use_pallas:
+        def step(C, chunk):
+            H, B = chunk
+            return C + pallas_gram.matmul_u32(H, B, n_limbs=n_limbs), None
+    else:
+        def step(C, chunk):
+            H, B = chunk
+            return C + pallas_gram.matmul_u32_reference(
+                H, B, n_limbs=n_limbs), None
+
+    C, _ = jax.lax.scan(step, C0, (H_all, B_all))
+    return C
+
+
+def many2all_counts(db: KmerPatternDb, queries: list[np.ndarray],
+                    use_device: bool | None = None) -> np.ndarray:
+    """uint32[Q, S]: common-k-mer counts of each query (sorted unique
+    k-mer array) against every database sample — the batched form of
+    one2all that new2all runs (reference console_new2all.cpp:64-95).
+
+    Device path: per query the hit pattern histogram is built on the
+    host (galloping probe), then sims = H @ B runs as exact-uint32
+    MXU contractions over pattern chunks.  Host path: per-query CSR
+    apply.  The device wins when Q * P is large; default heuristic
+    stays on host for CLI-sized work (KMERDB_N2A_DEVICE=1/0 forces).
+    """
+    import os
+    from ..utils import native
+    Q = len(queries)
+    S = db.n_samples
+    if Q == 0 or S == 0:
+        return np.zeros((Q, S), dtype=np.uint32)
+
+    env = os.environ.get("KMERDB_N2A_DEVICE", "")
+    if use_device is None:
+        use_device = env == "1"
+    if not use_device or db.n_patterns == 0 or not native.available:
+        return np.stack([one2all_counts(db, q) for q in queries])
+
+    from .pallas_gram import on_tpu
+    H_all, B_all, n_limbs = m2a_prepare(db, queries)
+    args = (jnp.asarray(H_all), jnp.asarray(B_all))
+    if on_tpu():
+        try:
+            C = np.asarray(_m2a_scan(*args, n_limbs=n_limbs,
+                                     use_pallas=True))
+            return C[:Q, :S]
+        except Exception:
+            # transient remote-compile failure: XLA limb path is exact
+            pass
+    C = np.asarray(_m2a_scan(*args, n_limbs=n_limbs, use_pallas=False))
+    return C[:Q, :S]
+
+
+def m2a_prepare(db: KmerPatternDb, queries: list[np.ndarray],
+                q_align: int | None = None):
+    """Host prep for the batched query contraction sims = H @ B.
+
+    Returns (H_all uint32[n_chunks, Q_pad, P_pad] per-chunk hit
+    counts, B_all int8[n_chunks, P_pad, S_pad] incidence blocks,
+    n_limbs).  q_align overrides the Q padding multiple (a mesh shards
+    the query axis)."""
+    from ..utils import native
+    from . import pallas_gram
+    Q = len(queries)
+    S = db.n_samples
+
+    # per-query probes -> (pids, counts), plus global max count
+    probes = []
+    max_c = 1
+    kmers = np.ascontiguousarray(db.kmers)
+    pids32 = np.ascontiguousarray(db.kmer_pattern_ids, dtype=np.int32)
+    for q in queries:
+        hit = np.sort(native.one2all_probe(
+            np.ascontiguousarray(q), kmers, pids32))
+        if hit.size:
+            boundary = np.empty(hit.size, dtype=bool)
+            boundary[0] = True
+            np.not_equal(hit[1:], hit[:-1], out=boundary[1:])
+            starts = np.flatnonzero(boundary)
+            cnts = np.diff(np.append(starts, hit.size)).astype(np.uint32)
+            probes.append((hit[starts], cnts))
+            max_c = max(max_c, int(cnts.max()))
+        else:
+            probes.append((hit[:0], np.empty(0, np.uint32)))
+    n_limbs = max(1, (max_c.bit_length() + 7) // 8)
+
+    offs = db.pattern_offsets
+    sids = db.pattern_sample_ids
+    el_pid = db.element_pattern_ids()
+    P = db.n_patterns
+    TILE, KT = pallas_gram.TILE, pallas_gram.KT
+    Q_pad = _round_up(Q, q_align or TILE)
+    S_pad = _round_up(S, TILE)
+    chunk = min(_CHUNK, max(KT, (64 << 20) // max(S_pad, Q_pad)))
+    bounds = _chunk_plan(offs, P, chunk, _CHUNK_E)
+    n_chunks = len(bounds) - 1
+    max_pc = max(bounds[c + 1] - bounds[c] for c in range(n_chunks))
+    P_pad = _round_up(max_pc, KT)
+
+    B_all = native.alloc_array(n_chunks * P_pad * S_pad, np.int8,
+                               populate=False).reshape(
+                                   n_chunks, P_pad, S_pad)
+    H_all = native.alloc_array(n_chunks * Q_pad * P_pad, np.uint32,
+                               populate=False).reshape(
+                                   n_chunks, Q_pad, P_pad)
+    for c in range(n_chunks):
+        p0, p1 = bounds[c], bounds[c + 1]
+        lo, hi = int(offs[p0]), int(offs[p1])
+        native.fill_incidence(
+            (el_pid[lo:hi] - p0).astype(np.int32),
+            np.ascontiguousarray(sids[lo:hi], dtype=np.int32), B_all[c])
+        for qi, (hp, hc) in enumerate(probes):
+            j0, j1 = np.searchsorted(hp, [p0, p1])
+            H_all[c, qi, hp[j0:j1] - p0] = hc[j0:j1]
+    return H_all, B_all, n_limbs
+
+
 def db2db_counts(db_row: KmerPatternDb, db_col: KmerPatternDb) -> np.ndarray:
     """uint32[S_row, S_col] cross-database common-k-mer counts
     (reference db2db_sp, similarity_calculator.cpp:1225-1540).

@@ -101,6 +101,76 @@ def gram_u32(B, w, *, n_limbs: int, interpret: bool | None = None):
     )(w, B, B)
 
 
+def _matmul_tile_kernel(h_ref, b_ref, out_ref, *, n_limbs):
+    """One (q, s, k) grid step: out[q,s] += sum_l (H_l @ B) << 8l.
+
+    H holds per-(query, pattern) hit counts (uint32, limbed in-kernel);
+    B is the 0/1 int8 pattern-sample incidence.  Used by the batched
+    new2all path: sims = H @ B (reference one2all pattern-count apply,
+    similarity_calculator.cpp:737-794, as an MXU contraction)."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    h = h_ref[:]              # (TILE, KT) uint32
+    b = b_ref[:].astype(jnp.float32).astype(jnp.bfloat16)   # (KT, TILE)
+    acc = jnp.zeros(out_ref.shape, jnp.uint32)
+    for l in range(n_limbs):
+        hl = ((h >> np.uint32(8 * l)) & np.uint32(0xFF)).astype(
+            jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+        part = jax.lax.dot_general(
+            hl, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = acc + (part.astype(jnp.int32).astype(jnp.uint32)
+                     << np.uint32(8 * l))
+    out_ref[:] += acc
+
+
+def matmul_u32(H, B, *, n_limbs: int, interpret: bool | None = None):
+    """C = H @ B in exact uint32.
+
+    H: uint32[Q, P] (entries < 2^(8*n_limbs)); B: int8 0/1 [P, S].
+    Q, S multiples of TILE; P multiple of KT (caller pads; pad pattern
+    rows must be all-zero in B or H).  Exactness: per limb each K-block
+    partial is < 2^8 * KT < 2^24 (exact f32), recombination in uint32.
+    """
+    if interpret is None:
+        interpret = not on_tpu()
+    Q, P = H.shape
+    S = B.shape[1]
+    grid = (Q // TILE, S // TILE, P // KT)
+    kernel = functools.partial(_matmul_tile_kernel, n_limbs=n_limbs)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE, KT), lambda q, s, k: (q, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((KT, TILE), lambda q, s, k: (k, s),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE, TILE), lambda q, s, k: (q, s),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Q, S), jnp.uint32),
+        interpret=interpret,
+    )(H, B)
+
+
+def matmul_u32_reference(H, B, *, n_limbs: int):
+    """Pure-XLA reference of matmul_u32 (same limb decomposition)."""
+    Bf = B.astype(jnp.bfloat16)
+    C = jnp.zeros((H.shape[0], B.shape[1]), dtype=jnp.uint32)
+    for l in range(n_limbs):
+        hl = ((H >> np.uint32(8 * l)) & np.uint32(0xFF)).astype(jnp.bfloat16)
+        part = jax.lax.dot_general(
+            hl, Bf, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        C = C + (part.astype(jnp.uint32) << np.uint32(8 * l))
+    return C
+
+
 def gram_u32_reference(B, w, *, n_limbs: int):
     """Pure-XLA reference of gram_u32 (same limb decomposition)."""
     Bf = B.astype(jnp.bfloat16)

@@ -48,6 +48,52 @@ def _a2a_sharded(B_all, w_full, *, mesh, n_limbs):
         out_specs=P())(B_all, w_full)
 
 
+@functools.partial(jax.jit, static_argnames=("mesh", "n_limbs"))
+def _m2a_sharded(H_all, B_all, *, mesh, n_limbs):
+    from ..ops import pallas_gram
+
+    def step(H_l, B_l):
+        C0 = jnp.zeros((H_l.shape[1], B_l.shape[2]), jnp.uint32)
+        # mark the carry as varying over the shard axis (it accumulates
+        # shard-local H rows); plain zeros are typed as unvarying
+        try:
+            C0 = jax.lax.pcast(C0, ("shard",), to="varying")
+        except (AttributeError, TypeError):
+            C0 = jax.lax.pvary(C0, ("shard",))
+
+        def body(C, chunk):
+            H, B = chunk
+            return C + pallas_gram.matmul_u32_reference(
+                H, B, n_limbs=n_limbs), None
+
+        C, _ = jax.lax.scan(body, C0, (H_l, B_l))
+        return C
+
+    return shard_map(
+        step, mesh=mesh,
+        in_specs=(P(None, "shard", None), P()),
+        out_specs=P("shard", None))(H_all, B_all)
+
+
+def many2all_counts_sharded(db: KmerPatternDb, queries, mesh: Mesh
+                            ) -> np.ndarray:
+    """Query-sharded batched new2all: the query axis of the hit matrix
+    H is split across the mesh (the reference's per-query worker
+    threads, console_new2all.cpp:64-95, as SPMD); the incidence blocks
+    B are replicated; each device contracts its query rows."""
+    from ..ops import intersect
+    Q = len(queries)
+    S = db.n_samples
+    if Q == 0 or S == 0 or db.n_patterns == 0:
+        return np.zeros((Q, S), dtype=np.uint32)
+    D = mesh.devices.size
+    H_all, B_all, n_limbs = intersect.m2a_prepare(
+        db, queries, q_align=D * 8)
+    C = _m2a_sharded(jnp.asarray(H_all), jnp.asarray(B_all),
+                     mesh=mesh, n_limbs=n_limbs)
+    return np.asarray(C)[:Q, :S]
+
+
 def extract_sharded(seqs, lengths, k: int, alphabet_name: str, mesh: Mesh,
                     fraction: float = 1.0, start: float = 0.0):
     """Data-parallel k-mer extraction: the padded contig batch is

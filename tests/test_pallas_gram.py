@@ -65,3 +65,39 @@ def test_pallas_scan_path_matches_xla():
     from test_a2a_paths import _device_a2a
     C_pl = _device_a2a(db, chunk=pallas_gram.KT, use_pallas=True)
     np.testing.assert_array_equal(C_pl, C_xla)
+
+
+def test_many2all_device_matches_host():
+    """Batched new2all (sims = H @ B on pattern chunks) equals the
+    per-query host path; the pallas matmul kernel runs in interpreter
+    mode on the CPU backend."""
+    from kmerdb_tpu.models.database import KmerPatternDb
+    from kmerdb_tpu.models import builder
+    from kmerdb_tpu.ops import intersect
+    from kmerdb_tpu.utils import native
+
+    if not native.available:
+        pytest.skip("no native lib")
+
+    rng = np.random.default_rng(17)
+    pool = rng.integers(0, 1 << 40, size=5000, dtype=np.uint64)
+    samples = []
+    for i in range(9):
+        ks = rng.choice(pool, size=rng.integers(200, 1200), replace=False)
+        samples.append((f"s{i}", np.unique(ks)))
+    db = builder.add_samples(
+        KmerPatternDb(kmer_length=18, fraction=1.0, alphabet_name="nt"),
+        samples)
+
+    queries = []
+    for _ in range(7):
+        q = rng.choice(pool, size=rng.integers(50, 900), replace=False)
+        # mix in k-mers absent from the database
+        q = np.concatenate([q, rng.integers(1 << 41, 1 << 42,
+                                            size=20, dtype=np.uint64)])
+        queries.append(np.unique(q))
+    queries.append(np.empty(0, dtype=np.uint64))  # empty query row
+
+    host = intersect.many2all_counts(db, queries, use_device=False)
+    dev = intersect.many2all_counts(db, queries, use_device=True)
+    np.testing.assert_array_equal(dev, host)

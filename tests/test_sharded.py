@@ -36,3 +36,26 @@ def test_sharded_all2all_matches(synth_db, n_devices):
     got = all2all_counts_sharded(synth_db, mesh)
     want = intersect.all2all_counts(synth_db)
     np.testing.assert_array_equal(got, want)
+
+
+def test_many2all_sharded_matches_single():
+    """Query-sharded batched new2all == single-device host path."""
+    from kmerdb_tpu.parallel.sharded import many2all_counts_sharded
+    from kmerdb_tpu.utils import native
+    if not native.available:
+        pytest.skip("no native lib")
+    mesh8 = make_mesh(8)
+
+    rng = np.random.default_rng(23)
+    pool = rng.integers(0, 1 << 40, size=4000, dtype=np.uint64)
+    samples = [(f"s{i}", np.unique(rng.choice(
+        pool, size=rng.integers(100, 700), replace=False)))
+        for i in range(6)]
+    db = builder.add_samples(
+        KmerPatternDb(kmer_length=18, fraction=1.0, alphabet_name="nt"),
+        samples)
+    queries = [np.unique(rng.choice(pool, size=rng.integers(50, 400),
+                                    replace=False)) for _ in range(11)]
+    single = intersect.many2all_counts(db, queries, use_device=False)
+    sharded = many2all_counts_sharded(db, queries, mesh8)
+    np.testing.assert_array_equal(sharded, single)
