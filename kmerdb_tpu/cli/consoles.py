@@ -68,6 +68,11 @@ def run_build(p):
             db.fraction = s.fraction
         elif s.kmer_length != db.kmer_length:
             raise RuntimeError("sample k-mer length differs from database")
+        elif s.fraction != db.fraction:
+            # kmer_db.h:118-120: "adding kmers of different minhash
+            # fraction" is an error (mixed-fraction .minhash inputs)
+            raise RuntimeError(
+                "sample minhash fraction differs from database")
         batch.append((s.name, s.kmers))
         if len(batch) >= _BUILD_BATCH:
             db = builder.add_samples(db, batch)
@@ -266,7 +271,13 @@ def run_one2all(p):
             raise RuntimeError("Sample and database k-mer length differ")
     else:
         from ..io import kmc
-        kmers, k = kmc.load(sample_arg, db.fraction, db.start_fraction)
+        res = kmc.load(sample_arg, db.fraction, db.start_fraction)
+        if res is None:
+            raise RuntimeError(f"Cannot open sample file: {sample_arg}")
+        kmers, k = res
+        if k != db.kmer_length:
+            # console_one2all.cpp:58-67: KMC sample k must match the db
+            raise RuntimeError("Sample and database k-mer length differ")
         kmers = np.unique(kmers)
 
     sims = intersect.one2all_counts(db, kmers)

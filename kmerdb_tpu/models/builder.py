@@ -93,14 +93,9 @@ def _dedup_groups(glens: np.ndarray, h1: np.ndarray, h2: np.ndarray):
     with np.errstate(over="ignore"):
         comb = _mix64(h1 ^ ((h2 << np.uint64(17)) | (h2 >> np.uint64(47)))
                       ^ glens.astype(np.uint64), _SALT1)
-    gidx = np.arange(G, dtype=np.uint64)
-    if native.available:
-        native.radix_sort_kv(comb, gidx)
-    else:
-        o = np.argsort(comb, kind="stable")
-        comb = comb[o]
-        gidx = gidx[o]
-    gidx = gidx.astype(np.int64)
+    o = np.argsort(comb, kind="stable")
+    comb = comb[o]
+    gidx = o.astype(np.int64)
     h1s, h2s, lens_s = h1[gidx], h2[gidx], glens[gidx]
     boundary = np.empty(G, dtype=bool)
     boundary[0] = True

@@ -20,19 +20,48 @@ from jax import shard_map
 from ..models.database import KmerPatternDb
 
 
+#: patterns per f32-accumulated sub-block: 255 * _SUB must stay < 2^24
+#: so per-limb float32 MXU accumulation is exact (same bound as
+#: ops/intersect._CHUNK)
+_SUB = 32768
+
+
 def _local_gram(B_i8, w_full, n_limbs):
     """Partial C over this device's pattern slice (cf. ops/intersect:
-    host-built int8 incidence block, per-limb bf16 MXU contractions)."""
-    B = B_i8.astype(jnp.bfloat16)
-    S = B.shape[1]
-    C = jnp.zeros((S, S), dtype=jnp.uint32)
-    for l in range(n_limbs):
-        w_l = ((w_full >> np.uint32(8 * l)) & np.uint32(0xFF)).astype(jnp.bfloat16)
-        A = B * w_l[:, None]
-        partial = jax.lax.dot_general(
-            A, B, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        C = C + (partial.astype(jnp.uint32) << np.uint32(8 * l))
+    host-built int8 incidence block, per-limb bf16 MXU contractions).
+
+    The slice is processed in _SUB-pattern sub-blocks with uint32
+    accumulation between them, so f32 partial sums never exceed 2^24
+    regardless of how many patterns a device holds."""
+    P, S = B_i8.shape
+    pad = -P % _SUB
+    B_i8 = jnp.pad(B_i8, ((0, pad), (0, 0)))
+    w_full = jnp.pad(w_full, (0, pad))
+    n_sub = (P + pad) // _SUB
+    Bs = B_i8.reshape(n_sub, _SUB, S)
+    ws = w_full.reshape(n_sub, _SUB)
+
+    C0 = jnp.zeros((S, S), dtype=jnp.uint32)
+    # under shard_map the scan carry must be typed varying like Bs
+    try:
+        C0 = jax.lax.pcast(C0, ("shard",), to="varying")
+    except (AttributeError, TypeError):
+        C0 = jax.lax.pvary(C0, ("shard",))
+
+    def step(C, chunk):
+        Bc, wc = chunk
+        B = Bc.astype(jnp.bfloat16)
+        for l in range(n_limbs):
+            w_l = ((wc >> np.uint32(8 * l)) & np.uint32(0xFF)
+                   ).astype(jnp.bfloat16)
+            A = B * w_l[:, None]
+            partial = jax.lax.dot_general(
+                A, B, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            C = C + (partial.astype(jnp.uint32) << np.uint32(8 * l))
+        return C, None
+
+    C, _ = jax.lax.scan(step, C0, (Bs, ws))
     return C
 
 
@@ -82,10 +111,15 @@ def many2all_counts_sharded(db: KmerPatternDb, queries, mesh: Mesh
     threads, console_new2all.cpp:64-95, as SPMD); the incidence blocks
     B are replicated; each device contracts its query rows."""
     from ..ops import intersect
+    from ..utils import native
     Q = len(queries)
     S = db.n_samples
     if Q == 0 or S == 0 or db.n_patterns == 0:
         return np.zeros((Q, S), dtype=np.uint32)
+    if not native.available:
+        # m2a_prepare needs the C probes; the per-query NumPy path is
+        # the portable fallback (results identical)
+        return intersect.many2all_counts(db, queries, use_device=False)
     D = mesh.devices.size
     H_all, B_all, n_limbs = intersect.m2a_prepare(
         db, queries, q_align=D * 8)

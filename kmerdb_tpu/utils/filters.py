@@ -22,29 +22,56 @@ def _u32(x):
     return int(x) & 0xFFFFFFFF
 
 
+def _u32sum(*xs):
+    """uint32-wraparound combination computed in Python ints (numpy
+    scalar inputs would emit overflow warnings)."""
+    t = 0
+    for x in xs:
+        t += int(x)
+    return t & 0xFFFFFFFF
+
+
+def _div(a: float, b: float) -> float:
+    """C++ double-division semantics: x/0 = inf, 0/0 = nan (the
+    reference never guards denominators; zero-k-mer samples produce
+    inf/nan cells and the run continues)."""
+    if b != 0:
+        return a / b
+    return math.inf if a > 0 else (-math.inf if a < 0 else math.nan)
+
+
+def _log(x: float) -> float:
+    """C++ log() semantics: log(nan) = nan, log(<0) = nan (Python's
+    math.log raises instead)."""
+    try:
+        return math.log(x)
+    except ValueError:
+        return math.nan
+
+
 def jaccard(common, cnt1, cnt2, k):
-    return float(common) / _u32(cnt1 + cnt2 - common)
+    return _div(float(common), _u32sum(cnt1, cnt2, -int(common)))
 
 
 def metric_min(common, cnt1, cnt2, k):
-    return float(common) / min(_u32(cnt1), _u32(cnt2))
+    return _div(float(common), min(_u32(cnt1), _u32(cnt2)))
 
 
 def metric_max(common, cnt1, cnt2, k):
-    return float(common) / max(_u32(cnt1), _u32(cnt2))
+    return _div(float(common), max(_u32(cnt1), _u32(cnt2)))
 
 
 def cosine(common, cnt1, cnt2, k):
     # reference: common / sqrt(cnt1 * cnt2); cnt1*cnt2 in uint32 wraps!
     # (num_kmers_t * num_kmers_t is uint32 arithmetic in C++)
-    return float(common) / math.sqrt(_u32(_u32(cnt1) * _u32(cnt2)))
+    return _div(float(common), math.sqrt((_u32(cnt1) * _u32(cnt2)) & 0xFFFFFFFF))
 
 
 def mash(common, query_cnt, db_cnt, k):
-    d_j = float(common) / _u32(query_cnt + db_cnt - common)
+    d_j = _div(float(common), _u32sum(query_cnt, db_cnt, -int(common)))
     if d_j == 0:
         return 1.0
-    return (-1.0 / k) * math.log((2 * d_j) / (d_j + 1))
+    return (-1.0 / k) * _log((2 * d_j) / (d_j + 1))
 
 
 def ani(common, query_cnt, db_cnt, k):
@@ -52,16 +79,16 @@ def ani(common, query_cnt, db_cnt, k):
 
 
 def ani_shorter(common, query_cnt, db_cnt, k):
-    d_j = float(common) / min(_u32(query_cnt), _u32(db_cnt))
-    d_m = 1.0 if d_j == 0 else (-1.0 / k) * math.log((2 * d_j) / (d_j + 1))
+    d_j = _div(float(common), min(_u32(query_cnt), _u32(db_cnt)))
+    d_m = 1.0 if d_j == 0 else (-1.0 / k) * _log((2 * d_j) / (d_j + 1))
     return 1.0 - d_m
 
 
 def mash_query(common, query_cnt, db_cnt, k):
-    d_j = float(common) / _u32(query_cnt)
+    d_j = _div(float(common), _u32(query_cnt))
     if d_j == 0:
         return 1.0
-    return (-1.0 / k) * math.log((2 * d_j) / (d_j + 1))
+    return (-1.0 / k) * _log((2 * d_j) / (d_j + 1))
 
 
 def num_kmers(common, query_cnt, db_cnt, k):
@@ -78,6 +105,68 @@ AVAILABLE_METRICS = {
     "ani-shorter": ani_shorter,
     "mash-query": mash_query,
     "num-kmers": num_kmers,
+}
+
+# ---------------------------------------------------------------------------
+# vectorized metric evaluation (bulk filtering of large rows); same
+# uint32-wraparound semantics, inf/nan on zero denominators
+# ---------------------------------------------------------------------------
+
+def _vf(c, denom):
+    return c.astype(np.float64) / denom.astype(np.float64)
+
+
+def _v_jaccard(c, c1, c2, k):
+    return _vf(c, c1 + c2 - c)
+
+
+def _v_min(c, c1, c2, k):
+    return _vf(c, np.minimum(c1, c2))
+
+
+def _v_max(c, c1, c2, k):
+    return _vf(c, np.maximum(c1, c2))
+
+
+def _v_cosine(c, c1, c2, k):
+    return c.astype(np.float64) / np.sqrt((c1 * c2).astype(np.float64))
+
+
+def _v_mash_from_j(d_j, k):
+    m = (-1.0 / k) * np.log((2 * d_j) / (d_j + 1))
+    return np.where(d_j == 0, 1.0, m)
+
+
+def _v_mash(c, c1, c2, k):
+    return _v_mash_from_j(_v_jaccard(c, c1, c2, k), k)
+
+
+def _v_ani(c, c1, c2, k):
+    return 1.0 - _v_mash(c, c1, c2, k)
+
+
+def _v_ani_shorter(c, c1, c2, k):
+    return 1.0 - _v_mash_from_j(_v_min(c, c1, c2, k), k)
+
+
+def _v_mash_query(c, c1, c2, k):
+    return _v_mash_from_j(_vf(c, np.broadcast_to(c1, c.shape)), k)
+
+
+def _v_num_kmers(c, c1, c2, k):
+    return c.astype(np.float64)
+
+
+_VECTOR_METRICS = {
+    "jaccard": _v_jaccard,
+    "min": _v_min,
+    "max": _v_max,
+    "cosine": _v_cosine,
+    "mash": _v_mash,
+    "ani": _v_ani,
+    "ani-shorter": _v_ani_shorter,
+    "mash-query": _v_mash_query,
+    "num-kmers": _v_num_kmers,
 }
 
 
@@ -126,14 +215,35 @@ class CombinedFilter:
 
     def mask_row(self, values: np.ndarray, row_id: int,
                  col_ids: np.ndarray | None = None) -> np.ndarray:
-        """Vectorized: boolean keep-mask for a row of counts."""
+        """Boolean keep-mask for a row of counts.
+
+        Trivial filters short-circuit; small rows use the exact scalar
+        metric path (glibc log, matching the output formatter ulp for
+        ulp); large rows vectorize with numpy (np.log may differ from
+        glibc log in the last ulp — only observable if a metric value
+        lands exactly on a user bound)."""
         values = np.asarray(values)
+        if self.is_trivial:
+            return np.ones(values.size, dtype=bool)
         if col_ids is None:
             col_ids = np.arange(values.size)
+        if values.size <= 2048:
+            keep = np.ones(values.size, dtype=bool)
+            for i in range(values.size):
+                if not self(int(values[i]), row_id, int(col_ids[i])):
+                    keep[i] = False
+            return keep
+
+        c = values.astype(np.uint32)
+        c1 = np.uint32(self.row_counts[row_id])
+        c2 = np.asarray(self.col_counts, dtype=np.uint32)[col_ids]
         keep = np.ones(values.size, dtype=bool)
-        for i in range(values.size):
-            if not self(int(values[i]), row_id, int(col_ids[i])):
-                keep[i] = False
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+            for name, f in self.metric_filters.items():
+                v = _VECTOR_METRICS[name](c, c1, c2, self.kmer_length)
+                keep &= (v >= f.bounds[0]) & (v <= f.bounds[1])
+        keep &= (values >= self.kmer_filter.bounds[0]) \
+            & (values <= self.kmer_filter.bounds[1])
         return keep
 
     @property

@@ -61,9 +61,6 @@ def _init():
     lib.kmerdb_radix_sort_k.argtypes = [ctypes.c_int64, u64p, u64p]
     lib.kmerdb_unique_u64.restype = ctypes.c_int64
     lib.kmerdb_unique_u64.argtypes = [ctypes.c_int64, u64p]
-    lib.kmerdb_group_stats.restype = ctypes.c_int64
-    lib.kmerdb_group_stats.argtypes = [
-        ctypes.c_int64, u64p, u64p, i64p, u64p, u64p, u64p]
     u64pp = ctypes.POINTER(u64p)
     lib.kmerdb_merge_groups.restype = ctypes.c_int64
     lib.kmerdb_merge_groups.argtypes = [
@@ -77,10 +74,6 @@ def _init():
         ctypes.c_int64, i64p, u64p, u64p, ctypes.c_uint64, i64p,
         ctypes.POINTER(ctypes.c_uint32), i64p,
         ctypes.POINTER(ctypes.c_uint32)]
-    lib.kmerdb_merge_unique_keys.restype = ctypes.c_int64
-    lib.kmerdb_merge_unique_keys.argtypes = [ctypes.c_int32, u64pp, i64p, u64p]
-    lib.kmerdb_prefault_heap.restype = ctypes.c_int32
-    lib.kmerdb_prefault_heap.argtypes = [ctypes.c_int64]
     lib.kmerdb_malloc_reuse.restype = None
     lib.kmerdb_malloc_reuse.argtypes = []
     lib.kmerdb_malloc_reuse()
@@ -127,20 +120,6 @@ def _init():
 
 
 _init()
-
-
-_prefaulted = 0
-
-
-def prefault_heap(nbytes: int) -> None:
-    """Grow + huge-page-fault the malloc heap to `nbytes` once; later
-    large allocations (incl. numpy temporaries) reuse warmed pages.
-    No-op when native is unavailable or the heap is already that big."""
-    global _prefaulted
-    if not available or nbytes <= _prefaulted:
-        return
-    if _lib.kmerdb_prefault_heap(int(nbytes)) == 0:
-        _prefaulted = nbytes
 
 
 def _p(a, t):
@@ -281,6 +260,8 @@ def merge_groups(key_streams: list[np.ndarray],
         ns, key_ptrs, val_ptrs, _p(cvals, _U64P), _p(lens, _I64P),
         _p(merged_vals, _U64P), _p(group_keys, _U64P), _p(gstart, _I64P),
         _p(glen, _U64P), _p(h1, _U64P), _p(h2, _U64P))
+    if g < 0:
+        raise MemoryError("kmerdb_merge_groups: scratch arena mmap failed")
     if scratch:
         return (merged_vals, group_keys[:g], gstart[:g], glen[:g],
                 h1[:g], h2[:g])
@@ -422,6 +403,8 @@ def dedup_groups(h1: np.ndarray, h2: np.ndarray, glen: np.ndarray):
     p = _lib.kmerdb_dedup_groups(G, _p(h1, _U64P), _p(h2, _U64P),
                                  _p(glen, _U64P), _p(inverse, _I64P),
                                  _p(first, _I64P))
+    if p < 0:
+        raise MemoryError("kmerdb_dedup_groups: scratch arena mmap failed")
     return inverse, first[:p].copy()
 
 
@@ -454,17 +437,3 @@ def fill_incidence(rows: np.ndarray, cols: np.ndarray,
     _lib.kmerdb_fill_incidence(rows.size, _p(rows, _I32P),
                                _p(cols, _I32P), B.shape[1], _p(B, _I8P))
 
-
-def group_stats(keys: np.ndarray, vals: np.ndarray):
-    """Per-distinct-key segment stats over a key-sorted stream.
-
-    Returns (gstart i64[G], glen u64[G], h1 u64[G], h2 u64[G])."""
-    n = keys.size
-    gstart = np.empty(n, dtype=np.int64)
-    glen = np.empty(n, dtype=np.uint64)
-    h1 = np.empty(n, dtype=np.uint64)
-    h2 = np.empty(n, dtype=np.uint64)
-    g = _lib.kmerdb_group_stats(n, _p(keys, _U64P), _p(vals, _U64P),
-                                _p(gstart, _I64P), _p(glen, _U64P),
-                                _p(h1, _U64P), _p(h2, _U64P))
-    return gstart[:g], glen[:g], h1[:g], h2[:g]

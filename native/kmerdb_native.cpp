@@ -81,32 +81,6 @@ static void* arena_grow(void** buf, size_t* cap, size_t need) {
 #endif
 }
 
-int32_t kmerdb_prefault_heap(int64_t bytes) {
-#if defined(__linux__)
-    kmerdb_malloc_reuse();
-    void* p = malloc((size_t)bytes);
-    if (!p) return -1;
-    uintptr_t a = (uintptr_t)p;
-    uintptr_t lo = a & ~((uintptr_t)4095);
-    uintptr_t hi = (a + (uintptr_t)bytes + 4095) & ~((uintptr_t)4095);
-#ifndef MADV_POPULATE_WRITE
-#define MADV_POPULATE_WRITE 23
-#endif
-    // bulk page population: demand faults cost ~50us each on some
-    // sandboxed hosts; MADV_POPULATE_WRITE provisions the same pages
-    // ~30x faster.  Fallback to a volatile touch loop (a plain memset
-    // before free() would be dead-store-eliminated).
-    if (madvise((void*)lo, hi - lo, MADV_POPULATE_WRITE) != 0) {
-        volatile char* q = (volatile char*)p;
-        for (int64_t i = 0; i < bytes; i += 4096) q[i] = 0;
-    }
-    free(p);
-    return 0;
-#else
-    (void)bytes;
-    return -1;
-#endif
-}
 
 // ---------------------------------------------------------------------------
 // 64-bit mixers
@@ -260,36 +234,6 @@ int64_t kmerdb_unique_u64(int64_t n, uint64_t* a) {
     return m;
 }
 
-// ---------------------------------------------------------------------------
-// Pattern-group statistics
-// ---------------------------------------------------------------------------
-//
-// Input: element stream sorted by key (k-mer): keys[i], vals[i] (the
-// sample-id / pattern-ref stream).  Emits one record per distinct key:
-// group start index, group length, and two order-invariant content
-// hashes (xor/sum of independently mixed values).  Returns #groups.
-
-int64_t kmerdb_group_stats(int64_t n, const uint64_t* keys,
-                           const uint64_t* vals, int64_t* gstart,
-                           uint64_t* glen, uint64_t* h1, uint64_t* h2) {
-    if (n == 0) return 0;
-    int64_t g = -1;
-    uint64_t prev = ~keys[0];
-    for (int64_t i = 0; i < n; ++i) {
-        if (i == 0 || keys[i] != prev) {
-            ++g;
-            gstart[g] = i;
-            glen[g] = 0;
-            h1[g] = 0;
-            h2[g] = 0;
-            prev = keys[i];
-        }
-        glen[g] += 1;
-        h1[g] ^= splitmix(vals[i], 0x9e3779b97f4a7c15ULL);
-        h2[g] += splitmix(vals[i], 0xc2b2ae3d27d4eb4fULL);
-    }
-    return g + 1;
-}
 
 // ---------------------------------------------------------------------------
 // Fused K-way merge + group statistics
@@ -671,53 +615,6 @@ void kmerdb_cross_apply(int64_t n_pairs, const int64_t* p1,
     }
 }
 
-// merged distinct keys from sorted streams (keys only; for the unique
-// k-mer array) — single pass multiway merge with dedup.
-int64_t kmerdb_merge_unique_keys(int32_t n_streams, const uint64_t** keys,
-                                 const int64_t* lens, uint64_t* out) {
-    struct Head { uint64_t key; int32_t s; };
-    std::vector<Head> heap;
-    std::vector<int64_t> pos((size_t)n_streams, 0);
-    auto less = [](const Head& a, const Head& b) {
-        return a.key < b.key || (a.key == b.key && a.s < b.s);
-    };
-    auto sift_down = [&](size_t i) {
-        size_t n = heap.size();
-        for (;;) {
-            size_t l = 2 * i + 1, r = l + 1, m = i;
-            if (l < n && less(heap[l], heap[m])) m = l;
-            if (r < n && less(heap[r], heap[m])) m = r;
-            if (m == i) break;
-            Head t = heap[i]; heap[i] = heap[m]; heap[m] = t;
-            i = m;
-        }
-    };
-    for (int32_t s = 0; s < n_streams; ++s)
-        if (lens[s] > 0) heap.push_back({keys[s][0], s});
-    for (size_t i = heap.size(); i-- > 0;) sift_down(i);
-
-    int64_t n_out = 0;
-    bool first = true;
-    uint64_t prev = 0;
-    while (!heap.empty()) {
-        Head top = heap[0];
-        if (first || top.key != prev) {
-            out[n_out++] = top.key;
-            prev = top.key;
-            first = false;
-        }
-        int32_t s = top.s;
-        if (++pos[s] < lens[s]) {
-            heap[0].key = keys[s][pos[s]];
-            sift_down(0);
-        } else {
-            heap[0] = heap.back();
-            heap.pop_back();
-            if (!heap.empty()) sift_down(0);
-        }
-    }
-    return n_out;
-}
 
 // ---------------------------------------------------------------------------
 // Host all2all for small workloads (avoids a device round trip when

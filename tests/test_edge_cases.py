@@ -107,3 +107,32 @@ def test_fraction_start_window(tmp_path):
     kb = set(cnt["both"].kmers.tolist())
     assert k1.isdisjoint(k2)
     assert k1 | k2 == kb
+
+
+def test_mask_row_vector_matches_scalar():
+    """CombinedFilter.mask_row's vectorized large-row path must agree
+    with the exact scalar path (same uint32 wraparound + inf/nan
+    zero-denominator semantics)."""
+    import numpy as np
+    from kmerdb_tpu.utils.filters import (AVAILABLE_METRICS, CombinedFilter,
+                                          KmerFilter, MetricFilter)
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    values = rng.integers(0, 300, size=n).astype(np.uint32)
+    values[::97] = 0
+    col_counts = rng.integers(0, 400, size=n).astype(np.uint32)
+    col_counts[::53] = 0          # zero-k-mer samples -> inf/nan metrics
+    row_counts = [np.uint32(250)]
+
+    for name in AVAILABLE_METRICS:
+        mf = MetricFilter()
+        mf.metric = AVAILABLE_METRICS[name]
+        mf.bounds = [0.05, 0.9] if name not in ("num-kmers",) else [3, 200]
+        kf = KmerFilter()
+        kf.bounds[0] = 1
+        filt = CombinedFilter({name: mf}, kf, row_counts, col_counts, 18)
+
+        vec = filt.mask_row(values, 0)
+        scalar = np.array([filt(int(values[i]), 0, i) for i in range(n)])
+        np.testing.assert_array_equal(vec, scalar, err_msg=name)
