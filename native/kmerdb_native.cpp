@@ -25,18 +25,21 @@
 extern "C" {
 
 // ---------------------------------------------------------------------------
-// Heap pre-faulting
+// Memory strategy
 // ---------------------------------------------------------------------------
 //
-// Some sandboxed hosts serve anonymous-page faults at ~90us/page, which
-// makes every fresh large allocation (numpy temporaries included) run
-// at ~0.02 GB/s.  Mitigation: pin malloc to the sbrk heap (no mmap, no
-// trim), grow it once to the expected high-water mark, fault it in with
-// MADV_HUGEPAGE (2 MiB faults are ~500x cheaper), and free — all later
-// allocations reuse pre-faulted pages at full memory bandwidth.
+// Some sandboxed hosts provision anonymous pages at ~30us/page however
+// they are touched, which makes every fresh large allocation (numpy
+// temporaries included) run at ~0.03 GB/s.  Two mitigations:
+//   1. malloc is pinned to the sbrk heap with trimming disabled
+//      (below), so freed numpy temporaries keep their provisioned
+//      pages inside the process;
+//   2. all large native scratch lives in grow-only anonymous-mmap
+//      arenas (arena_grow), bulk-provisioned with MADV_POPULATE_WRITE
+//      and reused for the life of the process.
 
-// Keep freed memory in the process: all large allocations go to the
-// sbrk heap and are never returned to the OS, so the (slow) page
+// Keep freed memory in the process: malloc'd allocations go to the
+// sbrk heap and are never returned to the OS, so their (slow) page
 // provisioning cost is paid once per high-water mark.
 void kmerdb_malloc_reuse(void) {
 #if defined(__linux__)

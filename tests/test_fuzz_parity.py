@@ -318,3 +318,30 @@ def test_all2all_sp_sampling(tmp_path):
             for c, v in cells.items():
                 assert want.get(c) == v, \
                     f"{tool}: row {name} cell {c} value {v} != {want.get(c)}"
+
+
+def test_all2all_parts_sampling(tmp_path):
+    """all2all-parts with 'best' row sampling across a 3-part split:
+    byte parity with the reference (the best-strategy heap is
+    feed-order independent, so the parts grid order doesn't matter)."""
+    rng = np.random.default_rng(91)
+    lst = _random_corpus(tmp_path, rng, n=9, gz_some=False)
+    paths = pathlib.Path(lst).read_text().split()
+    dbs_r, dbs_o = [], []
+    for i, chunk in enumerate((paths[:3], paths[3:6], paths[6:])):
+        part = tmp_path / f"part{i}.list"
+        part.write_text("".join(p + "\n" for p in chunk))
+        rdb, odb = str(tmp_path / f"r{i}.db"), str(tmp_path / f"o{i}.db")
+        ref(["build", "-k", "16", str(part), rdb])
+        ours(["build", "-k", "16", str(part), odb])
+        dbs_r.append(rdb)
+        dbs_o.append(odb)
+    rl, ol = tmp_path / "r.list", tmp_path / "o.list"
+    rl.write_text("".join(p + "\n" for p in dbs_r))
+    ol.write_text("".join(p + "\n" for p in dbs_o))
+    for tag, args in [("sampled", ["-sample-rows", "jaccard:2"]),
+                      ("filtered", ["-min", "2", "-max", "mash:0.9"])]:
+        rp, op = str(tmp_path / f"r.{tag}"), str(tmp_path / f"o.{tag}")
+        ref(["all2all-parts", *args, str(rl), rp])
+        ours(["all2all-parts", *args, str(ol), op])
+        _cmp(rp, op, f"all2all-parts {tag}")
