@@ -7,6 +7,8 @@ cells with the cross-database kernel, streaming out globally-indexed
 sparse rows (column indices shifted by the parts' sample offsets).
 """
 
+import os
+
 import numpy as np
 
 from ..io import dbfile
@@ -54,17 +56,39 @@ def run_all2all_parts(p):
         ofs.write(csvio.matrix_header(kmer_len, fraction, sample_names))
         ofs.write(csvio.totals_row(sample_counts))
 
-        cached_col = {}  # part index -> loaded db (previous row's diagonal)
+        # loaded-part cache: unlike the reference (whose parts exist
+        # precisely because RAM is the constraint, so it reloads column
+        # parts every row, console_all2all_parts.cpp:157-225), keep
+        # parts resident up to a byte budget and only reload beyond it
+        cache_budget = int(os.environ.get("KMERDB_PARTS_CACHE_MB",
+                                          "4096")) << 20
+        cached: dict[int, object] = {}
+        cached_bytes = 0
+
+        def part_nbytes(db):
+            return int(db.kmers.nbytes + db.kmer_pattern_ids.nbytes
+                       + db.pattern_sample_ids.nbytes
+                       + db.pattern_offsets.nbytes)
+
+        def get_part(idx):
+            nonlocal cached_bytes
+            db = cached.get(idx)
+            if db is None:
+                db = dbfile.load_db(part_fns[idx], dbfile.EVERYTHING)
+                nb = part_nbytes(db)
+                if cached_bytes + nb <= cache_budget:
+                    cached[idx] = db
+                    cached_bytes += nb
+            return db
+
         for i_row, fn_row in enumerate(part_fns):
-            db_row = dbfile.load_db(fn_row, dbfile.EVERYTHING)
+            db_row = get_part(i_row)
             row_filter_counts = db_row.sample_kmer_counts
 
             # cell matrices of this grid row, keyed by i_col
             cells = {}
             for i_col in range(i_row):
-                db_col = cached_col.pop(i_col, None)
-                if db_col is None:
-                    db_col = dbfile.load_db(part_fns[i_col], dbfile.EVERYTHING)
+                db_col = get_part(i_col)
                 X = intersect.db2db_counts(db_row, db_col)
                 filt = CombinedFilter(p.metric_filters, p.kmer_filter,
                                       row_filter_counts,
@@ -94,7 +118,7 @@ def run_all2all_parts(p):
                                       for j in np.flatnonzero(row * keep)])
                 cells[i_row] = diag_cell
 
-            cached_col[i_row] = db_row
+
 
             if not do_sampling:
                 for r in range(db_row.n_samples):

@@ -360,16 +360,24 @@ def db2db_counts(db_row: KmerPatternDb, db_col: KmerPatternDb) -> np.ndarray:
     Sorted-merge intersection of the two k-mer arrays -> (pid1, pid2)
     match counts M, then C = B1^T M B2 applied through the CSRs.
     """
+    from ..utils import native
     S1, S2 = db_row.n_samples, db_col.n_samples
     C = np.zeros((S1, S2), dtype=np.uint32)
     if db_row.n_kmers == 0 or db_col.n_kmers == 0:
         return C
     # intersect sorted unique arrays
-    idx = np.searchsorted(db_col.kmers, db_row.kmers)
-    idx[idx >= db_col.n_kmers] = db_col.n_kmers - 1
-    found = db_col.kmers[idx] == db_row.kmers
-    p1 = db_row.kmer_pattern_ids[found]
-    p2 = db_col.kmer_pattern_ids[idx[found]]
+    if native.available:
+        p1, p2 = native.intersect_probe(
+            np.ascontiguousarray(db_row.kmers),
+            np.ascontiguousarray(db_row.kmer_pattern_ids, dtype=np.int32),
+            np.ascontiguousarray(db_col.kmers),
+            np.ascontiguousarray(db_col.kmer_pattern_ids, dtype=np.int32))
+    else:
+        idx = np.searchsorted(db_col.kmers, db_row.kmers)
+        idx[idx >= db_col.n_kmers] = db_col.n_kmers - 1
+        found = db_col.kmers[idx] == db_row.kmers
+        p1 = db_row.kmer_pattern_ids[found]
+        p2 = db_col.kmer_pattern_ids[idx[found]]
     if p1.size == 0:
         return C
     # run-length count of (p1, p2) pairs

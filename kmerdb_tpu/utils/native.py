@@ -115,6 +115,9 @@ def _init():
     lib.kmerdb_one2all_probe.restype = ctypes.c_int64
     lib.kmerdb_one2all_probe.argtypes = [ctypes.c_int64, u64p,
                                          ctypes.c_int64, u64p, i32p, i32p]
+    lib.kmerdb_intersect_probe.restype = ctypes.c_int64
+    lib.kmerdb_intersect_probe.argtypes = [
+        ctypes.c_int64, u64p, i32p, ctypes.c_int64, u64p, i32p, i32p, i32p]
     _lib = lib
     available = True
 
@@ -428,6 +431,20 @@ def one2all_probe(query: np.ndarray, kmers: np.ndarray,
                                   kmers.size, _p(kmers, _U64P),
                                   _p(pids, _I32P), _p(out, _I32P))
     return out[:h]
+
+
+def intersect_probe(ka: np.ndarray, pa: np.ndarray,
+                    kb: np.ndarray, pb: np.ndarray):
+    """(pattern_a, pattern_b) int32 pairs for every k-mer present in
+    both sorted-unique arrays (galloping merge)."""
+    _I32P = ctypes.POINTER(ctypes.c_int32)
+    cap = min(ka.size, kb.size)
+    out_a = pool.get("ip_a", cap, np.int32, populate=False)
+    out_b = pool.get("ip_b", cap, np.int32, populate=False)
+    h = _lib.kmerdb_intersect_probe(ka.size, _p(ka, _U64P), _p(pa, _I32P),
+                                    kb.size, _p(kb, _U64P), _p(pb, _I32P),
+                                    _p(out_a, _I32P), _p(out_b, _I32P))
+    return out_a[:h], out_b[:h]
 
 
 def fill_incidence(rows: np.ndarray, cols: np.ndarray,

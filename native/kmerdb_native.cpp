@@ -524,6 +524,34 @@ int64_t kmerdb_one2all_probe(int64_t nq, const uint64_t* q, int64_t n,
     return h;
 }
 
+// cross-database variant: for every k-mer present in both sorted
+// arrays, emit the (pattern-of-a, pattern-of-b) id pair (db2db_sp's
+// per-bin sorted-merge, similarity_calculator.cpp:1252-1291)
+int64_t kmerdb_intersect_probe(int64_t na, const uint64_t* ka,
+                               const int32_t* pa, int64_t nb,
+                               const uint64_t* kb, const int32_t* pb,
+                               int32_t* out_a, int32_t* out_b) {
+    int64_t pos = 0, h = 0;
+    for (int64_t i = 0; i < na && pos < nb; ++i) {
+        const uint64_t key = ka[i];
+        int64_t lo = pos, step = 1;
+        while (lo + step < nb && kb[lo + step] < key) {
+            lo += step;
+            step <<= 1;
+        }
+        int64_t hi = lo + step;
+        if (hi > nb) hi = nb;
+        const uint64_t* p = std::lower_bound(kb + lo, kb + hi, key);
+        pos = p - kb;
+        if (pos < nb && kb[pos] == key) {
+            out_a[h] = pa[i];
+            out_b[h] = pb[pos];
+            ++h;
+        }
+    }
+    return h;
+}
+
 // ---------------------------------------------------------------------------
 // Dense incidence fill: B[rows[i], cols[i]] = 1 over a zeroed block
 // (host-side build of the pattern-chunk incidence matrix consumed by
