@@ -36,7 +36,11 @@ from .database import KmerPatternDb
 from ..utils import native
 
 #: virtual-id offset marking "reference to an existing pattern"
+#: (NumPy fallback path: 64-bit values)
 _PATTERN_REF = np.int64(1) << np.int64(33)
+#: native path: values are uint32 — high bit marks a pattern reference
+#: (pattern ids and sample ids both stay < 2^31)
+_PATTERN_REF32 = np.uint32(1) << np.uint32(31)
 
 _SALT1 = np.uint64(0x9E3779B97F4A7C15)
 _SALT2 = np.uint64(0xC2B2AE3D27D4EB4F)
@@ -151,8 +155,10 @@ def add_samples(db: KmerPatternDb,
     old_sids = np.ascontiguousarray(db.pattern_sample_ids, dtype=np.uint32)
 
     if native.available:
-        old_vals = (np.uint64(_PATTERN_REF)
-                    + db.kmer_pattern_ids.astype(np.uint64))
+        if db.n_patterns >= (1 << 31) or len(names) >= (1 << 31):
+            raise OverflowError("pattern/sample ids exceed 2^31")
+        old_vals = (_PATTERN_REF32
+                    | db.kmer_pattern_ids.astype(np.uint32))
         n_parts = max(1, -(-total // _PARTITION_ELEMS))
         edges = _partition_edges(key_streams, n_parts)
         cuts = np.empty((len(key_streams), edges.size + 2), dtype=np.int64)
@@ -184,12 +190,12 @@ def add_samples(db: KmerPatternDb,
             rep_start = np.ascontiguousarray(gstart[first_group])
             rep_len_u = np.ascontiguousarray(glen_u[first_group])
             out_len = native.csr_lengths(rep_start, rep_len_u, merged_vals,
-                                         int(_PATTERN_REF), old_off)
+                                         int(_PATTERN_REF32), old_off)
             p_off = np.zeros(n_pat + 1, dtype=np.int64)
             np.cumsum(out_len, out=p_off[1:])
             flat = np.empty(p_off[-1], dtype=np.uint32)
             native.fill_csr(rep_start, rep_len_u, merged_vals,
-                            int(_PATTERN_REF), old_off, old_sids,
+                            int(_PATTERN_REF32), old_off, old_sids,
                             p_off[:-1].copy(), flat)
 
             uk_parts.append(gk.copy())

@@ -61,19 +61,20 @@ def _init():
     lib.kmerdb_radix_sort_k.argtypes = [ctypes.c_int64, u64p, u64p]
     lib.kmerdb_unique_u64.restype = ctypes.c_int64
     lib.kmerdb_unique_u64.argtypes = [ctypes.c_int64, u64p]
+    u32p_ = ctypes.POINTER(ctypes.c_uint32)
     u64pp = ctypes.POINTER(u64p)
+    u32pp = ctypes.POINTER(u32p_)
     lib.kmerdb_merge_groups.restype = ctypes.c_int64
     lib.kmerdb_merge_groups.argtypes = [
-        ctypes.c_int32, u64pp, u64pp, u64p, i64p,
-        u64p, u64p, i64p, u64p, u64p, u64p]
+        ctypes.c_int32, u64pp, u32pp, u32p_, i64p,
+        u32p_, u64p, i64p, u64p, u64p, u64p]
     lib.kmerdb_csr_lengths.restype = None
     lib.kmerdb_csr_lengths.argtypes = [
-        ctypes.c_int64, i64p, u64p, u64p, ctypes.c_uint64, i64p, i64p]
+        ctypes.c_int64, i64p, u64p, u32p_, ctypes.c_uint32, i64p, i64p]
     lib.kmerdb_fill_csr.restype = None
     lib.kmerdb_fill_csr.argtypes = [
-        ctypes.c_int64, i64p, u64p, u64p, ctypes.c_uint64, i64p,
-        ctypes.POINTER(ctypes.c_uint32), i64p,
-        ctypes.POINTER(ctypes.c_uint32)]
+        ctypes.c_int64, i64p, u64p, u32p_, ctypes.c_uint32, i64p,
+        u32p_, i64p, u32p_]
     lib.kmerdb_malloc_reuse.restype = None
     lib.kmerdb_malloc_reuse.argtypes = []
     lib.kmerdb_malloc_reuse()
@@ -226,25 +227,29 @@ def merge_groups(key_streams: list[np.ndarray],
     """Fused multiway merge of sorted key streams + per-distinct-key
     content stats.  val_streams[i] may be None (constant const_vals[i]).
 
-    Returns (merged_vals u64[N], group_keys u64[G], gstart i64[G],
-    glen u64[G], h1 u64[G], h2 u64[G]).  With scratch=True the returned
-    arrays are views into the shared pool (valid until the next pooled
-    call) — callers must copy what they keep."""
+    Values are uint32: sample ids < 2^31 or (1<<31)|pattern_id
+    references.  Returns (merged_vals u32[N], group_keys u64[G],
+    gstart i64[G], glen u64[G], h1 u64[G], h2 u64[G]).  With
+    scratch=True the returned arrays are views into the shared pool
+    (valid until the next pooled call) — callers must copy what they
+    keep."""
     ns = len(key_streams)
     total = int(sum(a.size for a in key_streams))
+    _U32P = ctypes.POINTER(ctypes.c_uint32)
     # contiguous copies must stay alive across the C call
     key_arrs = [np.ascontiguousarray(a) for a in key_streams]
     key_ptrs = (_U64P * ns)(*[_p(a, _U64P) for a in key_arrs])
-    val_arrs = [None if v is None else np.ascontiguousarray(v)
+    val_arrs = [None if v is None else
+                np.ascontiguousarray(v, dtype=np.uint32)
                 for v in val_streams]
-    null = ctypes.cast(None, _U64P)
-    val_ptrs = (_U64P * ns)(*[null if v is None else _p(v, _U64P)
+    null = ctypes.cast(None, _U32P)
+    val_ptrs = (_U32P * ns)(*[null if v is None else _p(v, _U32P)
                               for v in val_arrs])
-    cvals = np.asarray(const_vals, dtype=np.uint64)
+    cvals = np.asarray(const_vals, dtype=np.uint32)
     lens = np.asarray([a.size for a in key_streams], dtype=np.int64)
 
     if scratch:
-        merged_vals = pool.get("mg_merged", total, np.uint64)
+        merged_vals = pool.get("mg_merged", total, np.uint32)
         # group buffers are sized for the worst case (every key unique)
         # but typically ~20% written: demand-fault only what's used
         group_keys = pool.get("mg_gk", total, np.uint64, populate=False)
@@ -253,15 +258,15 @@ def merge_groups(key_streams: list[np.ndarray],
         h1 = pool.get("mg_h1", total, np.uint64, populate=False)
         h2 = pool.get("mg_h2", total, np.uint64, populate=False)
     else:
-        merged_vals = np.empty(total, dtype=np.uint64)
+        merged_vals = np.empty(total, dtype=np.uint32)
         group_keys = np.empty(total, dtype=np.uint64)
         gstart = np.empty(total, dtype=np.int64)
         glen = np.empty(total, dtype=np.uint64)
         h1 = np.empty(total, dtype=np.uint64)
         h2 = np.empty(total, dtype=np.uint64)
     g = _lib.kmerdb_merge_groups(
-        ns, key_ptrs, val_ptrs, _p(cvals, _U64P), _p(lens, _I64P),
-        _p(merged_vals, _U64P), _p(group_keys, _U64P), _p(gstart, _I64P),
+        ns, key_ptrs, val_ptrs, _p(cvals, _U32P), _p(lens, _I64P),
+        _p(merged_vals, _U32P), _p(group_keys, _U64P), _p(gstart, _I64P),
         _p(glen, _U64P), _p(h1, _U64P), _p(h2, _U64P))
     if g < 0:
         raise MemoryError("kmerdb_merge_groups: scratch arena mmap failed")
@@ -276,10 +281,11 @@ def csr_lengths(rep_start: np.ndarray, rep_len: np.ndarray,
                 merged_vals: np.ndarray, ref_threshold: int,
                 old_offsets: np.ndarray) -> np.ndarray:
     P = rep_start.size
+    _U32P = ctypes.POINTER(ctypes.c_uint32)
     out_len = np.empty(P, dtype=np.int64)
     _lib.kmerdb_csr_lengths(P, _p(rep_start, _I64P), _p(rep_len, _U64P),
-                            _p(merged_vals, _U64P),
-                            ctypes.c_uint64(ref_threshold),
+                            _p(merged_vals, _U32P),
+                            ctypes.c_uint32(ref_threshold),
                             _p(old_offsets, _I64P), _p(out_len, _I64P))
     return out_len
 
@@ -290,8 +296,8 @@ def fill_csr(rep_start: np.ndarray, rep_len: np.ndarray,
              out_off: np.ndarray, out: np.ndarray) -> None:
     _U32P = ctypes.POINTER(ctypes.c_uint32)
     _lib.kmerdb_fill_csr(rep_start.size, _p(rep_start, _I64P),
-                         _p(rep_len, _U64P), _p(merged_vals, _U64P),
-                         ctypes.c_uint64(ref_threshold),
+                         _p(rep_len, _U64P), _p(merged_vals, _U32P),
+                         ctypes.c_uint32(ref_threshold),
                          _p(old_offsets, _I64P),
                          _p(old_sample_ids, _U32P), _p(out_off, _I64P),
                          _p(out, _U32P))

@@ -244,32 +244,42 @@ int64_t kmerdb_unique_u64(int64_t n, uint64_t* a) {
 //
 // Each input stream is sorted by key.  Stream i supplies keys[i][j] and
 // value vals[i][j] (or the constant const_val[i] when vals[i] == null —
-// sample streams carry their sample id for every element).  Streams are
-// merged with stable tie-breaking by stream index (the old-database
-// stream must come first), emitting the merged value stream plus one
-// record per distinct key: start, length, xor/sum content hashes.
-// Returns #groups.  merged_vals must have room for the total element
-// count; group arrays likewise.
+// sample streams carry their sample id for every element).  Values are
+// uint32: plain sample ids < 2^31, or (1<<31)|pattern_id references to
+// the existing database.  Streams are merged with stable tie-breaking
+// by stream index (the old-database stream must come first), emitting
+// the merged value stream plus one record per distinct key: start,
+// length, xor/sum content hashes.  Returns #groups.  merged_vals must
+// have room for the total element count; group arrays likewise.
+//
+// Keys and values live in split arrays (12 B/element instead of a
+// padded 16 B struct): on slow-page-provisioning hosts the cold build
+// cost is proportional to unique bytes touched.
 
-struct KV { uint64_t k, v; };
-
-// stable two-way merge of KV runs (ties: a before b); branchless inner
-// loop (cmov-friendly) — random keys make the take-a/take-b branch
-// unpredictable, which dominates on narrow cores.
-static void merge_runs(const KV* a, int64_t na, const KV* b, int64_t nb,
-                       KV* out) {
+// stable two-way merge of (key, value) runs (ties: a before b);
+// branchless inner loop (cmov-friendly) — random keys make the
+// take-a/take-b branch unpredictable, which dominates on narrow cores.
+static void merge_runs(const uint64_t* ak, const uint32_t* av, int64_t na,
+                       const uint64_t* bk, const uint32_t* bv, int64_t nb,
+                       uint64_t* ok, uint32_t* ov) {
     int64_t i = 0, j = 0, o = 0;
     while (i < na && j < nb) {
-        const KV va = a[i], vb = b[j];
-        const bool take_b = vb.k < va.k;
-        out[o].k = take_b ? vb.k : va.k;
-        out[o].v = take_b ? vb.v : va.v;
+        const uint64_t ka = ak[i], kb = bk[j];
+        const uint32_t va = av[i], vb = bv[j];
+        const bool take_b = kb < ka;
+        ok[o] = take_b ? kb : ka;
+        ov[o] = take_b ? vb : va;
         ++o;
         i += !take_b;
         j += take_b;
     }
-    if (i < na) memcpy(out + o, a + i, (size_t)(na - i) * sizeof(KV));
-    else if (j < nb) memcpy(out + o, b + j, (size_t)(nb - j) * sizeof(KV));
+    if (i < na) {
+        memcpy(ok + o, ak + i, (size_t)(na - i) * 8);
+        memcpy(ov + o, av + i, (size_t)(na - i) * 4);
+    } else if (j < nb) {
+        memcpy(ok + o, bk + j, (size_t)(nb - j) * 8);
+        memcpy(ov + o, bv + j, (size_t)(nb - j) * 4);
+    }
 }
 
 // Key-range bucketing: the streams are partitioned at sampled key
@@ -278,8 +288,8 @@ static void merge_runs(const KV* a, int64_t na, const KV* b, int64_t nb,
 // materialization pass + one stats pass instead of log2(n_streams)
 // full-size merge passes (the dominant cost on a narrow host).
 int64_t kmerdb_merge_groups(int32_t n_streams, const uint64_t** keys,
-                            const uint64_t** vals, const uint64_t* const_val,
-                            const int64_t* lens, uint64_t* merged_vals,
+                            const uint32_t** vals, const uint32_t* const_val,
+                            const int64_t* lens, uint32_t* merged_vals,
                             uint64_t* group_keys, int64_t* gstart,
                             uint64_t* glen, uint64_t* h1, uint64_t* h2) {
     int64_t total = 0;
@@ -338,16 +348,19 @@ int64_t kmerdb_merge_groups(int32_t n_streams, const uint64_t** keys,
     }
 
     // persistent scratch (grow-only mmap arenas): fresh pages are
-    // expensive on some sandboxed hosts, reused ones are full-bandwidth
+    // expensive on some sandboxed hosts, reused ones are full-bandwidth.
+    // Layout: keys (8 B, aligned) first, then values (4 B).
     static void* arena_buf = nullptr;
     static size_t arena_cap = 0;
     static void* scratch_buf = nullptr;
     static size_t scratch_cap = 0;
-    KV* arena = (KV*)arena_grow(&arena_buf, &arena_cap,
-                                (size_t)total * sizeof(KV));
-    KV* scratch = (KV*)arena_grow(&scratch_buf, &scratch_cap,
-                                  (size_t)max_bucket * sizeof(KV));
-    if (!arena || !scratch) return -1;
+    uint64_t* arena_k = (uint64_t*)arena_grow(&arena_buf, &arena_cap,
+                                              (size_t)total * 12);
+    uint64_t* scratch_k = (uint64_t*)arena_grow(&scratch_buf, &scratch_cap,
+                                                (size_t)max_bucket * 12);
+    if (!arena_k || !scratch_k) return -1;
+    uint32_t* arena_v = (uint32_t*)(arena_k + total);
+    uint32_t* scratch_v = (uint32_t*)(scratch_k + max_bucket);
 
     // ---- materialize records bucket-major, streams in order (the
     // stable tie-break: stream 0 = old database first)
@@ -356,18 +369,16 @@ int64_t kmerdb_merge_groups(int32_t n_streams, const uint64_t** keys,
         for (int32_t s = 0; s < n_streams; ++s) {
             const int64_t* c = cuts.data() + (size_t)s * (nb + 1);
             const uint64_t* ks = keys[s];
-            const uint64_t* vs = vals[s];
-            const uint64_t cv = vs ? 0 : const_val[s];
+            const uint32_t* vs = vals[s];
+            const uint32_t cv = vs ? 0 : const_val[s];
             for (int64_t b = 0; b < nb; ++b) {
-                KV* dst = arena + wp[b];
+                const int64_t w = wp[b];
                 const int64_t n = c[b + 1] - c[b];
-                if (vs) {
-                    for (int64_t i = 0; i < n; ++i)
-                        dst[i] = {ks[c[b] + i], vs[c[b] + i]};
-                } else {
-                    for (int64_t i = 0; i < n; ++i)
-                        dst[i] = {ks[c[b] + i], cv};
-                }
+                memcpy(arena_k + w, ks + c[b], (size_t)n * 8);
+                if (vs)
+                    memcpy(arena_v + w, vs + c[b], (size_t)n * 4);
+                else
+                    for (int64_t i = 0; i < n; ++i) arena_v[w + i] = cv;
                 wp[b] += n;
             }
         }
@@ -377,7 +388,7 @@ int64_t kmerdb_merge_groups(int32_t n_streams, const uint64_t** keys,
     int64_t g = -1;
     std::vector<int64_t> run_off, run_len, noff, nlen;
     for (int64_t b = 0; b < nb; ++b) {
-        KV* base = arena + bucket_base[b];
+        const int64_t base = bucket_base[b];
         const int64_t bsz = bucket_base[b + 1] - bucket_base[b];
         if (bsz == 0) continue;
         run_off.clear();
@@ -391,34 +402,42 @@ int64_t kmerdb_merge_groups(int32_t n_streams, const uint64_t** keys,
             run_len.push_back(n);
             off += n;
         }
-        KV* src = base;
-        KV* dst = scratch;
+        uint64_t* src_k = arena_k + base;
+        uint32_t* src_v = arena_v + base;
+        uint64_t* dst_k = scratch_k;
+        uint32_t* dst_v = scratch_v;
         while (run_off.size() > 1) {
             noff.clear();
             nlen.clear();
             for (size_t r = 0; r + 1 < run_off.size(); r += 2) {
-                merge_runs(src + run_off[r], run_len[r],
-                           src + run_off[r + 1], run_len[r + 1],
-                           dst + run_off[r]);
+                merge_runs(src_k + run_off[r], src_v + run_off[r],
+                           run_len[r],
+                           src_k + run_off[r + 1], src_v + run_off[r + 1],
+                           run_len[r + 1],
+                           dst_k + run_off[r], dst_v + run_off[r]);
                 noff.push_back(run_off[r]);
                 nlen.push_back(run_len[r] + run_len[r + 1]);
             }
             if (run_off.size() & 1) {
                 size_t r = run_off.size() - 1;
-                memcpy(dst + run_off[r], src + run_off[r],
-                       (size_t)run_len[r] * sizeof(KV));
+                memcpy(dst_k + run_off[r], src_k + run_off[r],
+                       (size_t)run_len[r] * 8);
+                memcpy(dst_v + run_off[r], src_v + run_off[r],
+                       (size_t)run_len[r] * 4);
                 noff.push_back(run_off[r]);
                 nlen.push_back(run_len[r]);
             }
             run_off.swap(noff);
             run_len.swap(nlen);
-            std::swap(src, dst);
+            std::swap(src_k, dst_k);
+            std::swap(src_v, dst_v);
         }
 
-        const int64_t out0 = bucket_base[b];
-        uint64_t prev_key = ~src[0].k;
+        const int64_t out0 = base;
+        uint64_t prev_key = ~src_k[0];
         for (int64_t i = 0; i < bsz; ++i) {
-            const uint64_t k = src[i].k, v = src[i].v;
+            const uint64_t k = src_k[i];
+            const uint32_t v = src_v[i];
             if (k != prev_key) {
                 ++g;
                 group_keys[g] = k;
@@ -575,8 +594,8 @@ void kmerdb_fill_incidence(int64_t n_el, const int32_t* rows,
 // (value >= ref_threshold).
 
 void kmerdb_fill_csr(int64_t n_patterns, const int64_t* rep_start,
-                     const uint64_t* rep_len, const uint64_t* merged_vals,
-                     uint64_t ref_threshold, const int64_t* old_offsets,
+                     const uint64_t* rep_len, const uint32_t* merged_vals,
+                     uint32_t ref_threshold, const int64_t* old_offsets,
                      const uint32_t* old_sample_ids, const int64_t* out_off,
                      uint32_t* out) {
     for (int64_t p = 0; p < n_patterns; ++p) {
@@ -591,14 +610,14 @@ void kmerdb_fill_csr(int64_t n_patterns, const int64_t* rep_start,
             --len;
         }
         for (int64_t j = 0; j < len; ++j)
-            out[dst++] = (uint32_t)merged_vals[src + j];
+            out[dst++] = merged_vals[src + j];
     }
 }
 
 // out_len per pattern (prefix-sum done by caller)
 void kmerdb_csr_lengths(int64_t n_patterns, const int64_t* rep_start,
-                        const uint64_t* rep_len, const uint64_t* merged_vals,
-                        uint64_t ref_threshold, const int64_t* old_offsets,
+                        const uint64_t* rep_len, const uint32_t* merged_vals,
+                        uint32_t ref_threshold, const int64_t* old_offsets,
                         int64_t* out_len) {
     for (int64_t p = 0; p < n_patterns; ++p) {
         int64_t src = rep_start[p];
