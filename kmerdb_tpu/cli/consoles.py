@@ -185,20 +185,9 @@ def run_all2all_sp(p):
 
 
 def _feed_sampler(sampler, C, filt, p, db):
-    """add_to_sampler semantics (array.h:450-543): every passing (i,j)
-    lower-triangle cell is offered to row i and, transposed, to row j."""
-    counts = db.sample_kmer_counts
-    crit = p.sampling_criterion or (lambda c, a, b, k: 1.0)
-    S = db.n_samples
-    for i in range(S):
-        row = C[i, :i]
-        for j in np.flatnonzero(row):
-            v = int(row[j])
-            if filt(v, i, j):
-                score = float(crit(v, int(counts[i]), int(counts[j]),
-                                   db.kmer_length))
-                sampler.add(i, j, v, score)
-                sampler.add(j, i, v, score)
+    from ..utils.sampler import feed_lower_triangle
+    feed_lower_triangle(sampler, C, filt, p.sampling_criterion,
+                        db.sample_kmer_counts, db.kmer_length)
 
 
 # ---------------------------------------------------------------------------

@@ -164,13 +164,6 @@ def _cross_to_sampler(sampler, X, filt, p, db_row, db_col, row_shift,
 
 
 def _diag_to_sampler(sampler, C, filt, p, db_row, shift, kmer_len):
-    crit = p.sampling_criterion or (lambda c, a, b, k: 1.0)
-    counts = db_row.sample_kmer_counts
-    for r in range(db_row.n_samples):
-        row = C[r, :r]
-        for j in np.flatnonzero(row):
-            v = int(row[j])
-            if filt(v, r, int(j)):
-                score = float(crit(v, int(counts[r]), int(counts[j]), kmer_len))
-                sampler.add(shift + r, shift + int(j), v, score)
-                sampler.add(shift + int(j), shift + r, v, score)
+    from ..utils.sampler import feed_lower_triangle
+    feed_lower_triangle(sampler, C, filt, p.sampling_criterion,
+                        db_row.sample_kmer_counts, kmer_len, shift=shift)

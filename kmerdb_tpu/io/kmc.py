@@ -133,9 +133,12 @@ def write_kmc1(path: str, kmers_sorted: np.ndarray, k: int,
     sufv = kmers_sorted & np.uint64((1 << suffix_bits) - 1)
 
     n_pfx = 1 << (2 * lut_prefix_len)
-    lut = np.zeros(n_pfx, dtype="<u8")
+    # real KMC1 LUTs carry a trailing sentinel entry (= total) that
+    # ReadNextKmer uses as the final prefix's end bound
+    lut = np.zeros(n_pfx + 1, dtype="<u8")
     counts = np.bincount(prefixes, minlength=n_pfx)
-    lut[1:] = np.cumsum(counts)[:-1]
+    lut[1:-1] = np.cumsum(counts)[:-1]
+    lut[-1] = total
 
     # header: 4 u64 words + 1 word (both_strands etc.)
     hdr = np.zeros(5, dtype="<u8")
@@ -144,7 +147,11 @@ def write_kmc1(path: str, kmers_sorted: np.ndarray, k: int,
     hdr[2] = (255 << 32) | 1                     # min=1, max=255
     hdr[3] = total
     hdr[4] = 0                                   # both_strands flag=0
-    header_offset = hdr.nbytes
+    # KMC1 convention: header_offset counts the header fields PLUS the
+    # 4-byte version word (kmc_file.cpp:250 header_index math resolves
+    # header start at EOF-12-header_offset+4); real KMC writes 44 for
+    # this 40-byte header
+    header_offset = hdr.nbytes + 4
 
     with open(path + ".kmc_pre", "wb") as f:
         f.write(b"KMCP")

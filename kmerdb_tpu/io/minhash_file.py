@@ -32,5 +32,8 @@ def load(path_base: str):
             kmer_length, = struct.unpack("<I", f.read(4))
             fraction, = struct.unpack("<d", f.read(8))
         return np.asarray(kmers, dtype=np.uint64), kmer_length, fraction
-    except (OSError, struct.error):
+    except (OSError, struct.error, ValueError):
+        # ValueError: truncated file whose stored count exceeds the
+        # remaining bytes (np.frombuffer size mismatch) — treat like
+        # any other unreadable input
         return None

@@ -53,6 +53,20 @@ def _gram_chunk(C, B_i8, w_full, n_limbs):
     return C
 
 
+
+def _run_length_counts(sorted_arr: np.ndarray):
+    """(unique_values int64[], counts uint32[]) of a sorted array."""
+    if sorted_arr.size == 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint32))
+    boundary = np.empty(sorted_arr.size, dtype=bool)
+    boundary[0] = True
+    np.not_equal(sorted_arr[1:], sorted_arr[:-1], out=boundary[1:])
+    starts = np.flatnonzero(boundary)
+    uniq = sorted_arr[starts].astype(np.int64)
+    counts = np.diff(np.append(starts, sorted_arr.size)).astype(np.uint32)
+    return uniq, counts
+
+
 def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
@@ -198,13 +212,7 @@ def one2all_counts(db: KmerPatternDb, query_kmers: np.ndarray) -> np.ndarray:
             return sims
         # run-length count of sorted hit pids (avoids a bincount
         # zeroing n_patterns counters per query)
-        pids = np.sort(pids)
-        boundary = np.empty(pids.size, dtype=bool)
-        boundary[0] = True
-        np.not_equal(pids[1:], pids[:-1], out=boundary[1:])
-        starts = np.flatnonzero(boundary)
-        nz = pids[starts].astype(np.int64)
-        counts = np.diff(np.append(starts, pids.size)).astype(np.uint32)
+        nz, counts = _run_length_counts(np.sort(pids))
         native.csr_apply(np.ascontiguousarray(nz), counts, offs,
                          np.ascontiguousarray(db.pattern_sample_ids,
                                               dtype=np.uint32),
@@ -310,16 +318,10 @@ def m2a_prepare(db: KmerPatternDb, queries: list[np.ndarray],
     for q in queries:
         hit = np.sort(native.one2all_probe(
             np.ascontiguousarray(q), kmers, pids32))
-        if hit.size:
-            boundary = np.empty(hit.size, dtype=bool)
-            boundary[0] = True
-            np.not_equal(hit[1:], hit[:-1], out=boundary[1:])
-            starts = np.flatnonzero(boundary)
-            cnts = np.diff(np.append(starts, hit.size)).astype(np.uint32)
-            probes.append((hit[starts], cnts))
+        hp, cnts = _run_length_counts(hit)
+        probes.append((hp, cnts))
+        if cnts.size:
             max_c = max(max_c, int(cnts.max()))
-        else:
-            probes.append((hit[:0], np.empty(0, np.uint32)))
     n_limbs = max(1, (max_c.bit_length() + 7) // 8)
 
     offs = db.pattern_offsets
@@ -383,11 +385,7 @@ def db2db_counts(db_row: KmerPatternDb, db_col: KmerPatternDb) -> np.ndarray:
     # run-length count of (p1, p2) pairs
     pair = p1.astype(np.int64) * db_col.n_patterns + p2.astype(np.int64)
     pair.sort(kind="stable")
-    change = np.empty(pair.size, dtype=bool)
-    change[0] = True
-    np.not_equal(pair[1:], pair[:-1], out=change[1:])
-    upair = pair[np.flatnonzero(change)]
-    cnts = np.diff(np.append(np.flatnonzero(change), pair.size))
+    upair, cnts = _run_length_counts(pair)
     up1 = (upair // db_col.n_patterns).astype(np.int64)
     up2 = (upair % db_col.n_patterns).astype(np.int64)
 

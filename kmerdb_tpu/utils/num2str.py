@@ -13,14 +13,27 @@ A vectorized NumPy implementation is provided for bulk rows.
 import numpy as np
 
 
+import math
+
+
 def double2str(val: float, prec: int = 6) -> str:
-    """Replicates NumericConversions::Double2PChar (conversion.h:167-218)."""
+    """Replicates NumericConversions::Double2PChar (conversion.h:167-218).
+
+    inf/nan cells (zero-denominator metrics; the reference never guards
+    them) render as (2^64-1)/10^prec — the observed output of the
+    reference binary's double->uint64 cast on such values
+    ("18446744073709.551615" at prec=6) — so parity holds instead of
+    raising OverflowError."""
     neg = ""
     if val < 0:
         neg = "-"
         val = -val
     p = 10 ** prec
-    x = int(val * float(p) + 0.5)       # C double product + truncating cast
+    scaled = val * float(p) + 0.5        # C double product
+    if not math.isfinite(scaled) or scaled >= 2.0 ** 64:
+        x = (1 << 64) - 1
+    else:
+        x = int(scaled)                  # truncating cast
     if x < p:                            # |val| < 1.0
         return f"{neg}0.{x:0{prec}d}"
     s = str(x)

@@ -77,12 +77,18 @@ class Sampler:
         return (score, -item)
 
     def _select_best(self, data):
-        # reference keeps a heap once full; emulate: find worst among
-        # the first max_items, compare with the newcomer
-        new = data.pop()
-        worst_i = min(range(len(data)), key=lambda i: self._hkey(data[i]))
-        if self._hkey(new) >= self._hkey(data[worst_i]):
-            data[worst_i] = new
+        # reference keeps a bounded min-heap once full (sampler.h:52-65);
+        # the front is the worst kept item (lowest score, ties by larger
+        # item), evicted when the newcomer beats it.  O(log N) per
+        # offered cell.  Rows are converted in place to heap layout
+        # [(key, item, value), ...] on first overflow.
+        item, value, score = data.pop()
+        if not isinstance(data[0][0], tuple):
+            data[:] = [((s, -i), i, v) for i, v, s in data]
+            heapq.heapify(data)
+        new = ((score, -item), item, value)
+        if new[0] >= data[0][0]:
+            heapq.heapreplace(data, new)
 
     def _select_random(self, row, data):
         mt = self.mts[row]
@@ -93,17 +99,41 @@ class Sampler:
             data[idx] = data[-1]
         data.pop()
 
+    def _row_items(self, row: int):
+        """(item, value) pairs regardless of plain/heap row layout."""
+        data = self.rows[row]
+        if data and isinstance(data[0][0], tuple):
+            return [(item, value) for _, item, value in data]
+        return [(item, value) for item, value, _ in data]
+
     def row_pairs(self, row: int):
         """(item+1, value) sorted by item (saveRowSparse, sampler.h:123-138).
         Accepts an optional idx shift having been applied at add() time."""
         return [(item + 1, value)
-                for item, value, _ in sorted(self.rows[row],
-                                             key=lambda e: e[0])]
+                for item, value in sorted(self._row_items(row))]
 
     def row_pairs_shifted(self, row: int, idx_shift: int):
         return [(idx_shift + item + 1, value)
-                for item, value, _ in sorted(self.rows[row],
-                                             key=lambda e: e[0])]
+                for item, value in sorted(self._row_items(row))]
 
     def n_in_row(self, row: int) -> int:
         return len(self.rows[row])
+
+
+def feed_lower_triangle(sampler, C, filt, criterion, counts, kmer_len,
+                        shift=0):
+    """Offer every passing strict-lower-triangle cell of C to the
+    sampler, both as (i, j) and transposed (j, i) — add_to_sampler
+    semantics (array.h:450-543).  `shift` rebases row/col ids for
+    multi-part grids."""
+    import numpy as np
+    crit = criterion or (lambda c, a, b, k: 1.0)
+    for r in range(C.shape[0]):
+        row = C[r, :r]
+        for j in np.flatnonzero(row):
+            v = int(row[j])
+            if filt(v, r, int(j)):
+                score = float(crit(v, int(counts[r]), int(counts[j]),
+                                   kmer_len))
+                sampler.add(shift + r, shift + int(j), v, score)
+                sampler.add(shift + int(j), shift + r, v, score)

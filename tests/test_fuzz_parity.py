@@ -345,3 +345,40 @@ def test_all2all_parts_sampling(tmp_path):
         ref(["all2all-parts", *args, str(rl), rp])
         ours(["all2all-parts", *args, str(ol), op])
         _cmp(rp, op, f"all2all-parts {tag}")
+
+
+def test_kmc_input_cross_tool(tmp_path):
+    """Synthesized KMC1 databases are read identically by both tools
+    (the writer follows real KMC conventions: header_offset includes
+    the version word, LUT carries the trailing sentinel)."""
+    from kmerdb_tpu.io import kmc
+    rng = np.random.default_rng(61)
+    lst = tmp_path / "kmc.list"
+    entries = []
+    for i, k in enumerate((12, 20, 24)):
+        ks = np.unique(rng.integers(0, 1 << (2 * k),
+                                    size=rng.integers(500, 3000),
+                                    dtype=np.uint64))
+        base = str(tmp_path / f"s{i}_k{k}")
+        kmc.write_kmc1(base, np.sort(ks), k)
+        entries.append(base)
+    # one DB per k (k must be uniform within a database)
+    for i, base in enumerate(entries):
+        one = tmp_path / f"one{i}.list"
+        one.write_text(base + "\n")
+        rdb, odb = str(tmp_path / f"r{i}.db"), str(tmp_path / f"o{i}.db")
+        ref(["build", "-from-kmers", str(one), rdb])
+        ours(["build", "-from-kmers", str(one), odb])
+        ra, oa = str(tmp_path / f"r{i}.a2a"), str(tmp_path / f"o{i}.a2a")
+        ref(["all2all", rdb, ra])
+        ours(["all2all", odb, oa])
+        _cmp(ra, oa, f"kmc k={12 + 4 * i}")
+    # fractional minhash over KMC input
+    one = tmp_path / "one1.list"
+    rdb, odb = str(tmp_path / "rf.db"), str(tmp_path / "of.db")
+    ref(["build", "-from-kmers", "-f", "0.5", str(one), rdb])
+    ours(["build", "-from-kmers", "-f", "0.5", str(one), odb])
+    ra, oa = str(tmp_path / "rf.a2a"), str(tmp_path / "of.a2a")
+    ref(["all2all", rdb, ra])
+    ours(["all2all", odb, oa])
+    _cmp(ra, oa, "kmc fractional")
