@@ -71,8 +71,9 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("n_limbs", "use_pallas"))
-def _a2a_scan(B_all, w_all, *, n_limbs, use_pallas=False):
+@functools.partial(jax.jit,
+                   static_argnames=("n_limbs", "use_pallas", "triangle"))
+def _a2a_scan(B_all, w_all, *, n_limbs, use_pallas=False, triangle=True):
     """Whole all2all in ONE dispatch: lax.scan over pattern chunks.
 
     B_all: int8[n_chunks, P_pad, S_pad] host-built incidence blocks
@@ -88,14 +89,31 @@ def _a2a_scan(B_all, w_all, *, n_limbs, use_pallas=False):
     if use_pallas:
         from . import pallas_gram
 
+        if triangle:
+            def step(C, chunk):
+                B, w = chunk
+                # triangle grid computes only tile_row >= tile_col;
+                # upper tiles come back uninitialized, discarded below
+                part = pallas_gram.gram_u32_tri(B, w[:, None],
+                                                n_limbs=n_limbs)
+                return C + part, None
+
+            C, _ = jax.lax.scan(step, C0, (B_all, w_all))
+            # reconstruct the full symmetric matrix: diagonal tiles
+            # were computed in full, strict-upper never written
+            return jnp.tril(C) + jnp.tril(C, -1).T
+
         def step(C, chunk):
             B, w = chunk
             return C + pallas_gram.gram_u32(B, w[:, None],
                                             n_limbs=n_limbs), None
-    else:
-        def step(C, chunk):
-            B, w = chunk
-            return _gram_chunk(C, B, w, n_limbs), None
+
+        C, _ = jax.lax.scan(step, C0, (B_all, w_all))
+        return C
+
+    def step(C, chunk):
+        B, w = chunk
+        return _gram_chunk(C, B, w, n_limbs), None
 
     C, _ = jax.lax.scan(step, C0, (B_all, w_all))
     return C
@@ -181,14 +199,17 @@ def all2all_counts(db: KmerPatternDb, chunk: int = _CHUNK) -> np.ndarray:
 
     args = (jnp.asarray(B_all), jnp.asarray(w_all))
     if on_tpu():
-        try:
-            C = np.asarray(_a2a_scan(*args, n_limbs=n_limbs,
-                                     use_pallas=True))
-            return C[:S, :S]
-        except Exception:
-            # tunneled TPU kernel compile services can be transiently
-            # unavailable; the XLA limb path computes the same result
-            pass
+        # fastest-first fallback chain: triangle pallas (half the MXU
+        # work and B DMA) -> full-grid pallas -> XLA limb path.
+        # Tunneled TPU kernel compile services can be transiently
+        # unavailable; every tier computes the same exact result.
+        for tri in (True, False):
+            try:
+                C = np.asarray(_a2a_scan(*args, n_limbs=n_limbs,
+                                         use_pallas=True, triangle=tri))
+                return C[:S, :S]
+            except Exception:
+                continue
     C = np.asarray(_a2a_scan(*args, n_limbs=n_limbs, use_pallas=False))
     return C[:S, :S]
 

@@ -101,6 +101,71 @@ def gram_u32(B, w, *, n_limbs: int, interpret: bool | None = None):
     )(w, B, B)
 
 
+def gram_u32_tri(B, w, *, n_limbs: int, interpret: bool | None = None):
+    """Lower-triangle-only weighted Gram: computes C tiles with
+    tile_row >= tile_col over a compacted 1-D tile enumeration, halving
+    both MXU work and B-tile DMA versus the full grid.  The (i, j)
+    coordinates of the t-th triangle tile come from scalar-prefetched
+    index tables (PrefetchScalarGridSpec) — data-dependent block
+    indexing the Mosaic way.  Upper-triangle tiles of the output are
+    UNINITIALIZED — the caller must reconstruct
+    C_full = tril(C) + tril(C, -1)^T (the diagonal tiles are computed
+    in full, so their upper-in-tile cells are already correct)."""
+    if interpret is None:
+        interpret = not on_tpu()
+    P, S = B.shape
+    nt = S // TILE
+    n_tri = nt * (nt + 1) // 2
+    i_tab = np.repeat(np.arange(nt, dtype=np.int32),
+                      np.arange(1, nt + 1))
+    j_tab = np.concatenate([np.arange(i + 1, dtype=np.int32)
+                            for i in range(nt)])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tri, P // KT),
+        in_specs=[
+            pl.BlockSpec((KT, 1), lambda t, k, it, jt: (k, 0)),
+            pl.BlockSpec((KT, TILE), lambda t, k, it, jt: (k, it[t])),
+            pl.BlockSpec((KT, TILE), lambda t, k, it, jt: (k, jt[t])),
+        ],
+        out_specs=pl.BlockSpec((TILE, TILE),
+                               lambda t, k, it, jt: (it[t], jt[t])),
+    )
+    kernel = functools.partial(_gram_tile_tri_kernel, n_limbs=n_limbs)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((S, S), jnp.uint32),
+        interpret=interpret,
+    )(jnp.asarray(i_tab), jnp.asarray(j_tab), w, B, B)
+
+
+def _gram_tile_tri_kernel(it_ref, jt_ref, w_ref, bi_ref, bj_ref, out_ref,
+                          *, n_limbs):
+    """Same body as _gram_tile_kernel over the (t, k) triangle grid;
+    it_ref/jt_ref are the scalar-prefetched tile-coordinate tables."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    w = w_ref[:]
+    bi = bi_ref[:].astype(jnp.float32).astype(jnp.bfloat16)
+    bj = bj_ref[:].astype(jnp.float32).astype(jnp.bfloat16)
+    acc = jnp.zeros(out_ref.shape, jnp.uint32)
+    for l in range(n_limbs):
+        wl = ((w >> np.uint32(8 * l)) & np.uint32(0xFF)).astype(
+            jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+        part = jax.lax.dot_general(
+            bi * wl, bj,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = acc + (part.astype(jnp.int32).astype(jnp.uint32)
+                     << np.uint32(8 * l))
+    out_ref[:] += acc
+
+
 def _matmul_tile_kernel(h_ref, b_ref, out_ref, *, n_limbs):
     """One (q, s, k) grid step: out[q,s] += sum_l (H_l @ B) << 8l.
 

@@ -101,3 +101,21 @@ def test_many2all_device_matches_host():
     host = intersect.many2all_counts(db, queries, use_device=False)
     dev = intersect.many2all_counts(db, queries, use_device=True)
     np.testing.assert_array_equal(dev, host)
+
+
+@pytest.mark.parametrize("S,seed", [(128, 3), (384, 4)])
+def test_gram_tri_matches_full(S, seed):
+    """Triangle-grid Gram == full-grid Gram after symmetric
+    reconstruction (multiple tile rows exercises the t -> (i, j)
+    index decoding)."""
+    rng = np.random.default_rng(seed)
+    P = 2 * pallas_gram.KT
+    B = (rng.random((P, S)) < 0.1).astype(np.int8)
+    w = rng.integers(0, 70_000, size=P).astype(np.uint32)
+
+    full = np.asarray(pallas_gram.gram_u32(
+        jnp.asarray(B), jnp.asarray(w).reshape(-1, 1), n_limbs=3))
+    tri = np.asarray(pallas_gram.gram_u32_tri(
+        jnp.asarray(B), jnp.asarray(w).reshape(-1, 1), n_limbs=3))
+    rec = np.tril(tri) + np.tril(tri, -1).T
+    np.testing.assert_array_equal(rec, full)
