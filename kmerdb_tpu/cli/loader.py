@@ -90,6 +90,15 @@ def _load_path(path: str, input_format: str, kmer_length: int,
 
 
 def _resolve_workers(num_threads: int) -> int:
+    # Never spawn a pool from inside a worker process: a library
+    # consumer whose __main__ lacks the standard multiprocessing guard
+    # would otherwise re-execute their script in every spawn child and
+    # fork-bomb.  (python -m kmerdb_tpu is guarded; this protects
+    # programmatic callers.)
+    import multiprocessing as mp
+    proc = mp.current_process()
+    if proc.daemon or proc.name != "MainProcess":
+        return 1
     # explicit -t is honored as given (reference semantics); the
     # default scales to hardware concurrency
     if num_threads > 0:
