@@ -25,19 +25,8 @@ b_p is the 0/1 incidence vector over samples.  Hence
 which maps directly onto TPU matrix units.
 """
 
-import os
-
-import jax
-
-# 64-bit mode is required: packed k-mers and MurmurHash-style mixing are
-# uint64 (reference: src/types.h kmer_t).  Must happen before any jnp use.
-jax.config.update("jax_enable_x64", True)
-
-# Persistent compile cache: CLI invocations are short-lived processes;
-# recompiling the counting kernels every run would dominate wall-clock.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get("KMERDB_JAX_CACHE", "/tmp/kmerdb_tpu_jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# jax is imported lazily (kmerdb_tpu/_jaxinit.py): CLI modes that never
+# touch a device (distance, minhash, host-path queries) skip the
+# multi-second jax import entirely.
 
 __version__ = "0.1.0"

@@ -28,10 +28,9 @@ Two implementations: `extract_block_np` (host oracle / fallback) and
 import functools
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
 from ..types import KMER_SENTINEL
+from .._jaxinit import jax_modules
 from .alphabet import Alphabet
 from . import minhash
 
@@ -101,50 +100,65 @@ def extract_block_np(seqs: np.ndarray, lengths: np.ndarray, k: int,
 # device (JAX) implementation
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("k", "alphabet_name", "fraction", "start"))
-def _extract_block_jit(seqs, lengths, *, k, alphabet_name, fraction, start):
-    from .alphabet import get_alphabet
-    alphabet = get_alphabet(alphabet_name)
-    B, L = seqs.shape
-    V = L - k + 1
-    bits = alphabet.bits_per_symbol
+@functools.lru_cache(maxsize=None)
+def _jit_extract():
+    jax, jnp = jax_modules()
 
-    mapping = jnp.asarray(alphabet.mapping)
-    sym = mapping[seqs.astype(jnp.int32)]           # int8[B, L]
-    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
-    invalid = (sym < 0) | (pos >= lengths.astype(jnp.int32)[:, None])
-    s = jnp.where(invalid, 0, sym).astype(jnp.uint64)
+    @functools.partial(jax.jit, static_argnames=("k", "alphabet_name",
+                                                 "fraction", "start"))
+    def _impl(seqs, lengths, *, k, alphabet_name, fraction, start):
+        from .alphabet import get_alphabet
+        alphabet = get_alphabet(alphabet_name)
+        B, L = seqs.shape
+        V = L - k + 1
+        bits = alphabet.bits_per_symbol
 
-    fwd = jnp.zeros((B, V), dtype=jnp.uint64)
-    for j in range(k):
-        fwd = (fwd << jnp.uint64(bits)) | jax.lax.slice_in_dim(s, j, V + j, axis=1)
-    if alphabet.preserve_strand:
-        canon = fwd
-    else:
-        comp = jnp.uint64(alphabet.size - 1) - s
-        rev = jnp.zeros((B, V), dtype=jnp.uint64)
-        for j in range(k - 1, -1, -1):
-            rev = (rev << jnp.uint64(bits)) | jax.lax.slice_in_dim(comp, j, V + j, axis=1)
-        canon = jnp.minimum(fwd, rev)
+        mapping = jnp.asarray(alphabet.mapping)
+        sym = mapping[seqs.astype(jnp.int32)]           # int8[B, L]
+        pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+        invalid = (sym < 0) | (pos >= lengths.astype(jnp.int32)[:, None])
+        s = jnp.where(invalid, 0, sym).astype(jnp.uint64)
 
-    shift, tail_mask = prefix_shift(k, bits)
-    if shift:
-        canon = (canon << jnp.uint64(shift)) | (canon & jnp.uint64(tail_mask))
+        fwd = jnp.zeros((B, V), dtype=jnp.uint64)
+        for j in range(k):
+            fwd = (fwd << jnp.uint64(bits)) \
+                | jax.lax.slice_in_dim(s, j, V + j, axis=1)
+        if alphabet.preserve_strand:
+            canon = fwd
+        else:
+            comp = jnp.uint64(alphabet.size - 1) - s
+            rev = jnp.zeros((B, V), dtype=jnp.uint64)
+            for j in range(k - 1, -1, -1):
+                rev = (rev << jnp.uint64(bits)) \
+                    | jax.lax.slice_in_dim(comp, j, V + j, axis=1)
+            canon = jnp.minimum(fwd, rev)
 
-    c = jnp.cumsum(invalid.astype(jnp.int32), axis=1)
-    c = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), c], axis=1)
-    window_bad = (jax.lax.slice_in_dim(c, k, L + 1, axis=1)
-                  - jax.lax.slice_in_dim(c, 0, V, axis=1)) > 0
+        shift, tail_mask = prefix_shift(k, bits)
+        if shift:
+            canon = (canon << jnp.uint64(shift)) \
+                | (canon & jnp.uint64(tail_mask))
 
-    keep = ~window_bad
-    if fraction < 1.0:
-        keep &= minhash.accept_mask_jnp(canon, k, fraction, start)
-    return jnp.where(keep, canon, jnp.uint64(KMER_SENTINEL))
+        c = jnp.cumsum(invalid.astype(jnp.int32), axis=1)
+        c = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), c], axis=1)
+        window_bad = (jax.lax.slice_in_dim(c, k, L + 1, axis=1)
+                      - jax.lax.slice_in_dim(c, 0, V, axis=1)) > 0
+
+        keep = ~window_bad
+        if fraction < 1.0:
+            keep &= minhash.accept_mask_jnp(canon, k, fraction, start)
+        return jnp.where(keep, canon, jnp.uint64(KMER_SENTINEL))
+
+    return _impl
+
+
+def _extract_block_jit(seqs, lengths, **kw):
+    return _jit_extract()(seqs, lengths, **kw)
 
 
 def extract_block_jnp(seqs, lengths, k: int, alphabet: Alphabet,
                       fraction: float = 1.0, start: float = 0.0):
     """Device k-mer extraction on a padded uint8[B, L] block."""
+    _, jnp = jax_modules()
     if seqs.shape[1] - k + 1 <= 0:
         return jnp.full((seqs.shape[0], 0), KMER_SENTINEL, dtype=jnp.uint64)
     return _extract_block_jit(seqs, lengths, k=k, alphabet_name=alphabet.name,

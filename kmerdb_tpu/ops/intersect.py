@@ -23,9 +23,8 @@ pattern CSR.
 import functools
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
+from .._jaxinit import jax_modules
 from ..models.database import KmerPatternDb
 
 #: patterns per device chunk (fits u16 row ids incl. the dummy row);
@@ -41,6 +40,7 @@ def _gram_chunk(C, B_i8, w_full, n_limbs):
     B_i8: int8[P_pad, S_pad] 0/1 incidence (host-built).
     w_full: uint32[P_pad] chunk pattern weights (0 on pad rows).
     """
+    jax, jnp = jax_modules()
     B = B_i8.astype(jnp.bfloat16)
     for l in range(n_limbs):
         w_l = ((w_full >> np.uint32(8 * l)) & np.uint32(0xFF)
@@ -71,9 +71,21 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("n_limbs", "use_pallas", "triangle"))
+@functools.lru_cache(maxsize=None)
+def _jit_a2a():
+    jax, _ = jax_modules()
+    return functools.partial(
+        jax.jit, static_argnames=("n_limbs", "use_pallas", "triangle")
+    )(_a2a_scan_impl)
+
+
 def _a2a_scan(B_all, w_all, *, n_limbs, use_pallas=False, triangle=True):
+    return _jit_a2a()(B_all, w_all, n_limbs=n_limbs,
+                      use_pallas=use_pallas, triangle=triangle)
+
+
+def _a2a_scan_impl(B_all, w_all, *, n_limbs, use_pallas=False,
+                   triangle=True):
     """Whole all2all in ONE dispatch: lax.scan over pattern chunks.
 
     B_all: int8[n_chunks, P_pad, S_pad] host-built incidence blocks
@@ -83,6 +95,7 @@ def _a2a_scan(B_all, w_all, *, n_limbs, use_pallas=False, triangle=True):
     (ops/pallas_gram.py): one pass over B tiles for all weight limbs.
     Returns uint32[S_pad, S_pad]; caller slices the real S.
     """
+    jax, jnp = jax_modules()
     S_pad = B_all.shape[2]
     C0 = jnp.zeros((S_pad, S_pad), dtype=jnp.uint32)
 
@@ -197,6 +210,7 @@ def all2all_counts(db: KmerPatternDb, chunk: int = _CHUNK) -> np.ndarray:
             B_all[c][rows_c, cols_c] = 1
         w_all[c, :p1 - p0] = w[p0:p1]
 
+    _, jnp = jax_modules()
     args = (jnp.asarray(B_all), jnp.asarray(w_all))
     if on_tpu():
         # fastest-first fallback chain: triangle pallas (half the MXU
@@ -252,13 +266,24 @@ def one2all_counts(db: KmerPatternDb, query_kmers: np.ndarray) -> np.ndarray:
     return sims
 
 
-@functools.partial(jax.jit, static_argnames=("n_limbs", "use_pallas"))
+@functools.lru_cache(maxsize=None)
+def _jit_m2a():
+    jax, _ = jax_modules()
+    return functools.partial(
+        jax.jit, static_argnames=("n_limbs", "use_pallas"))(_m2a_scan_impl)
+
+
 def _m2a_scan(H_all, B_all, *, n_limbs, use_pallas=False):
+    return _jit_m2a()(H_all, B_all, n_limbs=n_limbs, use_pallas=use_pallas)
+
+
+def _m2a_scan_impl(H_all, B_all, *, n_limbs, use_pallas=False):
     """sims = H @ B accumulated over pattern chunks in one dispatch.
 
     H_all: uint32[n_chunks, Q_pad, P_pad] per-chunk hit counts;
     B_all: int8[n_chunks, P_pad, S_pad] incidence blocks.
     """
+    jax, jnp = jax_modules()
     from . import pallas_gram
     Q_pad = H_all.shape[1]
     S_pad = B_all.shape[2]
@@ -305,6 +330,7 @@ def many2all_counts(db: KmerPatternDb, queries: list[np.ndarray],
 
     from .pallas_gram import on_tpu
     H_all, B_all, n_limbs = m2a_prepare(db, queries)
+    _, jnp = jax_modules()
     args = (jnp.asarray(H_all), jnp.asarray(B_all))
     if on_tpu():
         try:

@@ -17,7 +17,8 @@ pipeline.  Both operate on uint64 lanes; on TPU the u64 ops lower to
 """
 
 import numpy as np
-import jax.numpy as jnp
+
+from .._jaxinit import jax_modules
 
 _C1 = 0x87C37B91114253D5
 _C2 = 0x4CF5AD432745937F
@@ -74,6 +75,7 @@ def hash_np(kmers: np.ndarray, kmer_length: int) -> np.ndarray:
 
 def hash_jnp(kmers, kmer_length: int):
     """Device (jax.numpy) version of MinHashFilter::hash."""
+    _, jnp = jax_modules()
     kd4 = jnp.uint64(_k_div_4(kmer_length))
     c42_val = 42 ^ _k_div_4(kmer_length)
 
@@ -112,6 +114,7 @@ def accept_mask_np(kmers: np.ndarray, kmer_length: int,
 
 def accept_mask_jnp(kmers, kmer_length: int, fraction: float, start: float = 0.0):
     """Boolean accept mask of the minhash window (device)."""
+    _, jnp = jax_modules()
     if fraction >= 1.0:
         return jnp.ones(kmers.shape, dtype=bool)
     lo, hi = thresholds(fraction, start)
