@@ -31,12 +31,20 @@ def thresholds(fraction: float, start: float) -> tuple[int, int]:
     """Acceptance window [min_thr, max_thr) as python ints.
 
     Matches filter.h:42-43: (double)UINT64_MAX rounds to 2^64 exactly;
-    the product is truncated toward zero by the uint64 cast.
+    the product is truncated toward zero by the uint64 cast.  When
+    start + fraction >= 1.0 the product reaches/exceeds 2^64 — the
+    reference binary's double->uint64 conversion SATURATES to
+    UINT64_MAX there (measured: -f 0.9 -f-start 0.3 keeps the
+    [0.3, 1.0) window, i.e. ~70% of k-mers), so the window clamps
+    instead of wrapping.
     """
     umax = float(0xFFFFFFFFFFFFFFFF)  # == 2.0**64 after rounding
-    lo = int(umax * start)
-    hi = int(umax * (start + fraction))
-    return lo & _MASK, hi & _MASK
+
+    def sat(x: float) -> int:
+        v = int(x)
+        return _MASK if v > _MASK else (0 if v < 0 else v)
+
+    return sat(umax * start), sat(umax * (start + fraction))
 
 
 def _k_div_4(kmer_length: int) -> int:

@@ -382,3 +382,20 @@ def test_kmc_input_cross_tool(tmp_path):
     ref(["all2all", rdb, ra])
     ours(["all2all", odb, oa])
     _cmp(ra, oa, "kmc fractional")
+
+
+def test_fraction_start_overflow(tmp_path):
+    """start + fraction >= 1.0: the reference's double->uint64 cast
+    saturates to UINT64_MAX, clamping the acceptance window to
+    [start, 1.0) instead of wrapping to empty (filter.h:42-43 UB,
+    behavior measured from the binary)."""
+    rng = np.random.default_rng(63)
+    lst = _random_corpus(tmp_path, rng, n=5, length=2500)
+    for f, fs in (("0.9", "0.3"), ("0.7", "0.3"), ("0.5", "0.6")):
+        rdb, odb = str(tmp_path / f"r{f}{fs}.db"), str(tmp_path / f"o{f}{fs}.db")
+        ref(["build", "-k", "18", "-f", f, "-f-start", fs, lst, rdb])
+        ours(["build", "-k", "18", "-f", f, "-f-start", fs, lst, odb])
+        ra, oa = str(tmp_path / f"r{f}{fs}.a"), str(tmp_path / f"o{f}{fs}.a")
+        ref(["all2all", rdb, ra])
+        ours(["all2all", odb, oa])
+        _cmp(ra, oa, f"all2all f={f} fs={fs}")
