@@ -45,8 +45,14 @@ def run_build(p):
         fraction_start = db.start_fraction
         alphabet_name = db.alphabet_name
     else:
+        # the reference NEVER assigns its db's startFraction: it is
+        # constructed as 0 (kmer_db.h:63) and nothing sets it, so the
+        # persisted value is always 0 and query-time re-filtering
+        # (one2all/new2all/extend ingest) uses the [0, fraction)
+        # window regardless of -f-start.  -f-start only shapes the
+        # build-time ingest below.  Replicated for parity.
         db = KmerPatternDb(kmer_length=0, fraction=p.fraction,
-                           start_fraction=p.fraction_start,
+                           start_fraction=0.0,
                            alphabet_name=p.alphabet_name)
         kmer_length = p.kmer_length
         fraction = p.fraction

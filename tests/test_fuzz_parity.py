@@ -399,3 +399,17 @@ def test_fraction_start_overflow(tmp_path):
         ref(["all2all", rdb, ra])
         ours(["all2all", odb, oa])
         _cmp(ra, oa, f"all2all f={f} fs={fs}")
+        # query-time re-filtering: the reference db never persists
+        # startFraction (kmer_db.h:63 default 0, never assigned), so
+        # one2all/new2all re-filter with start=0
+        q = pathlib.Path(lst).read_text().split()[0]
+        ro, oo = str(tmp_path / f"r{f}{fs}.o"), str(tmp_path / f"o{f}{fs}.o")
+        ref(["one2all", rdb, q, ro])
+        ours(["one2all", odb, q, oo])
+        _cmp(ro, oo, f"one2all f={f} fs={fs}")
+        # extend re-ingests with the db's (zero) startFraction
+        ref(["build", "-extend", lst, rdb])
+        ours(["build", "-extend", lst, odb])
+        ref(["all2all", rdb, ra])
+        ours(["all2all", odb, oa])
+        _cmp(ra, oa, f"extend f={f} fs={fs}")
