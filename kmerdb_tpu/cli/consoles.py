@@ -102,8 +102,11 @@ def run_build(p):
 def run_minhash(p):
     if len(p.files) != 1:
         raise UsageError(p.mode)
+    # the reference's minhash console hardcodes startValue=0 when
+    # building its filter (console_minhash.cpp:19) — -f-start is
+    # silently ignored in this mode; replicated for parity
     for s in iter_samples(p.files[0], p.input_format, p.kmer_length,
-                          p.fraction, p.fraction_start, p.alphabet_name,
+                          p.fraction, 0.0, p.alphabet_name,
                           p.multisample_fasta,
                           num_threads=p.num_threads):
         # store next to the input path (console_minhash.cpp:45); stored

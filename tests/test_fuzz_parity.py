@@ -413,3 +413,19 @@ def test_fraction_start_overflow(tmp_path):
         ref(["all2all", rdb, ra])
         ours(["all2all", odb, oa])
         _cmp(ra, oa, f"extend f={f} fs={fs}")
+
+
+def test_minhash_ignores_fstart(tmp_path):
+    """The reference's minhash console hardcodes startValue=0
+    (console_minhash.cpp:19): -f-start must not affect the stored
+    .minhash files."""
+    rng = np.random.default_rng(65)
+    lst = _random_corpus(tmp_path, rng, n=4, gz_some=False, length=2000)
+    paths = pathlib.Path(lst).read_text().split()
+    ref(["minhash", "-f", "0.42", "-f-start", "0.37", "-k", "16", lst])
+    blobs = {x: pathlib.Path(x + ".minhash").read_bytes() for x in paths}
+    for x in paths:
+        os.unlink(x + ".minhash")
+    ours(["minhash", "-f", "0.42", "-f-start", "0.37", "-k", "16", lst])
+    for x in paths:
+        assert pathlib.Path(x + ".minhash").read_bytes() == blobs[x], x
