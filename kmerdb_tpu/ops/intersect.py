@@ -212,11 +212,15 @@ def all2all_counts(db: KmerPatternDb, chunk: int = _CHUNK) -> np.ndarray:
 
     _, jnp = jax_modules()
     args = (jnp.asarray(B_all), jnp.asarray(w_all))
-    if on_tpu():
-        # fastest-first fallback chain: triangle pallas (half the MXU
-        # work and B DMA) -> full-grid pallas -> XLA limb path.
-        # Tunneled TPU kernel compile services can be transiently
-        # unavailable; every tier computes the same exact result.
+    # Kernel tier choice: on the tunneled bench TPU the XLA limb path
+    # measured 81 ms for an 8192x640 chunk set while the Pallas kernels
+    # took >500 ms (custom-call dispatch through the relay dominates)
+    # and their remote compiles fail intermittently — so XLA is the
+    # default device tier.  KMERDB_A2A_PALLAS=1 prefers the fused
+    # Pallas kernels (triangle grid then full grid) for
+    # directly-attached TPUs; every tier computes the same exact
+    # uint32 result, and any tier failure falls through to the next.
+    if on_tpu() and os.environ.get("KMERDB_A2A_PALLAS") == "1":
         for tri in (True, False):
             try:
                 C = np.asarray(_a2a_scan(*args, n_limbs=n_limbs,
@@ -332,13 +336,14 @@ def many2all_counts(db: KmerPatternDb, queries: list[np.ndarray],
     H_all, B_all, n_limbs = m2a_prepare(db, queries)
     _, jnp = jax_modules()
     args = (jnp.asarray(H_all), jnp.asarray(B_all))
-    if on_tpu():
+    # see all2all_counts: XLA is the default device tier; Pallas is
+    # opt-in for directly-attached TPUs
+    if on_tpu() and os.environ.get("KMERDB_A2A_PALLAS") == "1":
         try:
             C = np.asarray(_m2a_scan(*args, n_limbs=n_limbs,
                                      use_pallas=True))
             return C[:Q, :S]
         except Exception:
-            # transient remote-compile failure: XLA limb path is exact
             pass
     C = np.asarray(_m2a_scan(*args, n_limbs=n_limbs, use_pallas=False))
     return C[:Q, :S]
