@@ -101,34 +101,29 @@ def _a2a_scan_impl(B_all, w_all, *, n_limbs, use_pallas=False,
 
     if use_pallas:
         from . import pallas_gram
-
         if triangle:
-            def step(C, chunk):
-                B, w = chunk
-                # triangle grid computes only tile_row >= tile_col;
-                # upper tiles come back uninitialized, discarded below
-                part = pallas_gram.gram_u32_tri(B, w[:, None],
+            # triangle grid computes only tile_row >= tile_col; upper
+            # tiles come back uninitialized, discarded after the scan
+            def chunk_gram(C, B, w):
+                return C + pallas_gram.gram_u32_tri(B, w[:, None],
+                                                    n_limbs=n_limbs)
+        else:
+            def chunk_gram(C, B, w):
+                return C + pallas_gram.gram_u32(B, w[:, None],
                                                 n_limbs=n_limbs)
-                return C + part, None
-
-            C, _ = jax.lax.scan(step, C0, (B_all, w_all))
-            # reconstruct the full symmetric matrix: diagonal tiles
-            # were computed in full, strict-upper never written
-            return jnp.tril(C) + jnp.tril(C, -1).T
-
-        def step(C, chunk):
-            B, w = chunk
-            return C + pallas_gram.gram_u32(B, w[:, None],
-                                            n_limbs=n_limbs), None
-
-        C, _ = jax.lax.scan(step, C0, (B_all, w_all))
-        return C
+    else:
+        def chunk_gram(C, B, w):
+            return _gram_chunk(C, B, w, n_limbs)
 
     def step(C, chunk):
         B, w = chunk
-        return _gram_chunk(C, B, w, n_limbs), None
+        return chunk_gram(C, B, w), None
 
     C, _ = jax.lax.scan(step, C0, (B_all, w_all))
+    if use_pallas and triangle:
+        # reconstruct the full symmetric matrix: diagonal tiles were
+        # computed in full, strict-upper tiles were never written
+        return jnp.tril(C) + jnp.tril(C, -1).T
     return C
 
 
@@ -221,12 +216,16 @@ def all2all_counts(db: KmerPatternDb, chunk: int = _CHUNK) -> np.ndarray:
     # directly-attached TPUs; every tier computes the same exact
     # uint32 result, and any tier failure falls through to the next.
     if on_tpu() and os.environ.get("KMERDB_A2A_PALLAS") == "1":
+        from ..utils import log
         for tri in (True, False):
             try:
                 C = np.asarray(_a2a_scan(*args, n_limbs=n_limbs,
                                          use_pallas=True, triangle=tri))
                 return C[:S, :S]
-            except Exception:
+            except Exception as e:
+                log.normal(f"WARNING: pallas all2all tier "
+                           f"({'triangle' if tri else 'full'}) failed, "
+                           f"falling back: {e}")
                 continue
     C = np.asarray(_a2a_scan(*args, n_limbs=n_limbs, use_pallas=False))
     return C[:S, :S]
@@ -339,12 +338,14 @@ def many2all_counts(db: KmerPatternDb, queries: list[np.ndarray],
     # see all2all_counts: XLA is the default device tier; Pallas is
     # opt-in for directly-attached TPUs
     if on_tpu() and os.environ.get("KMERDB_A2A_PALLAS") == "1":
+        from ..utils import log
         try:
             C = np.asarray(_m2a_scan(*args, n_limbs=n_limbs,
                                      use_pallas=True))
             return C[:Q, :S]
-        except Exception:
-            pass
+        except Exception as e:
+            log.normal(f"WARNING: pallas new2all tier failed, "
+                       f"falling back: {e}")
     C = np.asarray(_m2a_scan(*args, n_limbs=n_limbs, use_pallas=False))
     return C[:Q, :S]
 

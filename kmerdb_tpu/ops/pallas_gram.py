@@ -21,8 +21,10 @@ arithmetic (src/types.h:5-27).
 import functools
 
 import numpy as np
-import jax
-import jax.numpy as jnp
+
+from .._jaxinit import jax_modules
+
+jax, jnp = jax_modules()  # configures x64 + compile cache
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -44,10 +46,11 @@ def on_tpu() -> bool:
         return False
 
 
-def _gram_tile_kernel(w_ref, bi_ref, bj_ref, out_ref, *, n_limbs):
-    """One (i, j, k) grid step: out[i,j] += sum_l (Bi*w_l)^T Bj << 8l."""
-    k = pl.program_id(2)
-
+def _gram_body(k, w_ref, bi_ref, bj_ref, out_ref, n_limbs):
+    """Shared Gram tile body: out += sum_l (Bi*w_l)^T Bj << 8l, with
+    out zero-initialized on the first K step (k is the position along
+    the reduction grid axis — axis 2 for the full grid, axis 1 for the
+    triangle grid)."""
     @pl.when(k == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
@@ -68,6 +71,11 @@ def _gram_tile_kernel(w_ref, bi_ref, bj_ref, out_ref, *, n_limbs):
         acc = acc + (part.astype(jnp.int32).astype(jnp.uint32)
                      << np.uint32(8 * l))
     out_ref[:] += acc
+
+
+def _gram_tile_kernel(w_ref, bi_ref, bj_ref, out_ref, *, n_limbs):
+    """One (i, j, k) grid step of the full Gram grid."""
+    _gram_body(pl.program_id(2), w_ref, bi_ref, bj_ref, out_ref, n_limbs)
 
 
 def gram_u32(B, w, *, n_limbs: int, interpret: bool | None = None):
@@ -142,28 +150,10 @@ def gram_u32_tri(B, w, *, n_limbs: int, interpret: bool | None = None):
 
 def _gram_tile_tri_kernel(it_ref, jt_ref, w_ref, bi_ref, bj_ref, out_ref,
                           *, n_limbs):
-    """Same body as _gram_tile_kernel over the (t, k) triangle grid;
-    it_ref/jt_ref are the scalar-prefetched tile-coordinate tables."""
-    k = pl.program_id(1)
-
-    @pl.when(k == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    w = w_ref[:]
-    bi = bi_ref[:].astype(jnp.float32).astype(jnp.bfloat16)
-    bj = bj_ref[:].astype(jnp.float32).astype(jnp.bfloat16)
-    acc = jnp.zeros(out_ref.shape, jnp.uint32)
-    for l in range(n_limbs):
-        wl = ((w >> np.uint32(8 * l)) & np.uint32(0xFF)).astype(
-            jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
-        part = jax.lax.dot_general(
-            bi * wl, bj,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        acc = acc + (part.astype(jnp.int32).astype(jnp.uint32)
-                     << np.uint32(8 * l))
-    out_ref[:] += acc
+    """One (t, k) grid step of the triangle grid; it_ref/jt_ref are the
+    scalar-prefetched tile-coordinate tables (consumed by the index
+    maps, unused in the body)."""
+    _gram_body(pl.program_id(1), w_ref, bi_ref, bj_ref, out_ref, n_limbs)
 
 
 def _matmul_tile_kernel(h_ref, b_ref, out_ref, *, n_limbs):

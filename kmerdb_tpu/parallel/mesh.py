@@ -9,7 +9,10 @@ Axes:
 """
 
 import numpy as np
-import jax
+
+from .._jaxinit import jax_modules
+
+jax, _ = jax_modules()  # configures x64 + compile cache
 from jax.sharding import Mesh
 
 

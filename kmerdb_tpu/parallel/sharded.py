@@ -12,8 +12,10 @@ reference's row-ownership thread partitioning
 import functools
 
 import numpy as np
-import jax
-import jax.numpy as jnp
+
+from .._jaxinit import jax_modules
+
+jax, jnp = jax_modules()  # configures x64 + compile cache
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
