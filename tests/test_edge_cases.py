@@ -31,6 +31,32 @@ def test_empty_sample_build_and_all2all(tmp_path):
     assert lines[4] == "c.fasta,0,0,0,"
 
 
+def test_headerless_input_is_graceful(tmp_path):
+    """Inputs with no '>' header (FASTQ, plain text, empty files) build
+    as 0-kmer samples instead of crashing.  The reference binary
+    SEGFAULTS on all of these (genome_input_file.h extractSubsequences
+    assumes at least one header), so there is no behavior to byte-match
+    — graceful degradation is the deliberate improvement."""
+    (tmp_path / "a.fastq").write_bytes(
+        b"@r1\nACGTACGTACGTACGTACGTACGT\n+\nIIIIIIIIIIIIIIIIIIIIIIII\n")
+    (tmp_path / "g.txt").write_bytes(b"no fasta header here\njust text\n")
+    (tmp_path / "e.fasta").write_bytes(b"")
+    (tmp_path / "ok.fasta").write_bytes(b">x\n" + b"ACGT" * 10 + b"\n")
+    lst = tmp_path / "l.list"
+    lst.write_text("".join(f"{tmp_path}/{n}\n" for n in
+                           ("a.fastq", "g.txt", "e.fasta", "ok.fasta")))
+    db = str(tmp_path / "h.db")
+    out = str(tmp_path / "h.a2a")
+    assert main(["build", "-k", "15", str(lst), db]) == 0
+    assert main(["all2all", db, out]) == 0
+    lines = pathlib.Path(out).read_text().splitlines()
+    assert len(lines) == 6          # header x2 + 4 sample rows
+    assert lines[2] == "a.fastq,0,"
+    assert lines[3] == "g.txt,0,0,"
+    assert lines[4] == "e.fasta,0,0,0,"
+    assert lines[5].startswith("ok.fasta,")
+
+
 def test_single_sample_db(tmp_path):
     (tmp_path / "a.fasta").write_bytes(b">a\n" + b"ACGT" * 20 + b"\n")
     lst = tmp_path / "l.list"
