@@ -382,6 +382,14 @@ def test_kmc_input_cross_tool(tmp_path):
     ref(["all2all", rdb, ra])
     ours(["all2all", odb, oa])
     _cmp(ra, oa, "kmc fractional")
+    # minhash -from-kmers: KMC sets -> .minhash files, byte-identical
+    base = entries[1]
+    ref(["minhash", "-from-kmers", "-f", "0.4", str(one)])
+    mh_ref = pathlib.Path(base + ".minhash").read_bytes()
+    os.unlink(base + ".minhash")
+    ours(["minhash", "-from-kmers", "-f", "0.4", str(one)])
+    assert pathlib.Path(base + ".minhash").read_bytes() == mh_ref, \
+        "minhash -from-kmers files differ"
 
 
 def test_fraction_start_overflow(tmp_path):
