@@ -13,7 +13,7 @@ from ..models import builder
 from ..ops import intersect
 from ..ops.alphabet import get_alphabet
 from ..io import dbfile, fasta, ingest, minhash_file
-from ..utils import csvio
+from ..utils import csvio, log
 from ..utils.filters import CombinedFilter
 from ..utils.num2str import num2str_float, format_double_cpp
 from . import params as P
@@ -178,12 +178,17 @@ def run_all2all_sp(p):
                                       db.sample_names))
         ofs.write(csvio.totals_row(db.sample_kmer_counts))
 
+        # percent progress over output rows at -v (the reference's
+        # refresh::progress_state role, similarity_calculator.cpp:479)
+        tick = max(1, db.n_samples // 10)
         if sampler is not None:
             _feed_sampler(sampler, C, filt, p, db)
             for i in range(db.n_samples):
                 ofs.write(csvio.sparse_row_pairs(
                     db.sample_names[i], int(db.sample_kmer_counts[i]),
                     sampler.row_pairs(i)))
+                if (i + 1) % tick == 0:
+                    log.verbose(f"{(i + 1) * 100 // db.n_samples}%")
         else:
             for i in range(db.n_samples):
                 row = C[i, :i]
@@ -191,6 +196,8 @@ def run_all2all_sp(p):
                 row = np.where(keep, row, 0)
                 ofs.write(csvio.sparse_row(
                     db.sample_names[i], int(db.sample_kmer_counts[i]), row))
+                if (i + 1) % tick == 0:
+                    log.verbose(f"{(i + 1) * 100 // db.n_samples}%")
 
 
 def _feed_sampler(sampler, C, filt, p, db):
@@ -234,6 +241,7 @@ def run_new2all(p):
                     ofs.write(csvio.dense_row(name, cnt, sims))
 
         names, queries = [], []
+        n_done = 0
         for s in iter_samples(samples_arg, p.input_format, db.kmer_length,
                               db.fraction, db.start_fraction,
                               db.alphabet_name, p.multisample_fasta,
@@ -242,9 +250,13 @@ def run_new2all(p):
             queries.append(np.unique(s.kmers))
             if len(names) >= 512:
                 flush(names, queries)
+                n_done += len(names)
+                log.verbose(f"{n_done} queries processed")
                 names, queries = [], []
         if names:
             flush(names, queries)
+            n_done += len(names)
+            log.verbose(f"{n_done} queries processed")
 
 
 def run_one2all(p):

@@ -82,6 +82,8 @@ def run_all2all_parts(p):
             return db
 
         for i_row, fn_row in enumerate(part_fns):
+            from ..utils import log
+            log.verbose(f"grid row {i_row + 1}/{len(part_fns)}")
             db_row = get_part(i_row)
             row_filter_counts = db_row.sample_kmer_counts
 
