@@ -4,8 +4,8 @@ The DB file is the checkpoint artifact, exactly as in the reference
 (SURVEY §5): build writes it, every query mode loads it, -extend loads
 then continues.  The on-disk format is ours (CSV parity is judged on
 outputs, not DB bytes): a flat binary container — a JSON header with a
-section table, followed by raw little-endian array bytes — whose
-sections can be loaded selectively, mirroring the reference's partial
+section table, followed by per-section array bytes — whose sections
+can be loaded selectively, mirroring the reference's partial
 deserialization modes (kmer_db.h:55-60):
 
 * SAMPLES_ONLY   -> metadata + sample table            (SamplesOnly)
@@ -15,9 +15,13 @@ deserialization modes (kmer_db.h:55-60):
                      CompactedHashtables: enough for one2all/new2all/
                      db2db and -extend)
 
-(The previous container was .npz; zipfile CRC32 over the raw arrays
-cost more than the rest of serialization combined.  Old .npz databases
-are still read transparently.)
+Sections are varint-compressed when the native runtime is present
+("d64": delta+LEB128 of a non-decreasing stream — the sorted k-mer
+array compresses ~4x; "v32": plain LEB128 — ids bounded by n_patterns/
+n_samples compress 2-4x).  The bench hosts sustain only ~30-65 MB/s of
+file writeback, so fewer bytes is directly build/query wall-clock.
+Raw sections ("raw" or no marker) and the earlier .npz container are
+still read transparently.
 """
 
 import json
@@ -43,6 +47,67 @@ _MODE_SECTIONS = {
                  "pattern_num_kmers", "kmers", "kmer_pattern_ids"),
 }
 
+#: encoding per section when the native codecs are available
+_SECTION_ENC = {
+    "kmers": "d64",             # sorted u64 -> delta varints
+    "pattern_offsets": "d64",   # non-decreasing i64 -> delta varints
+    "kmer_pattern_ids": "v32",  # < n_patterns
+    "pattern_sample_ids": "v32",   # < n_samples
+    "pattern_num_kmers": "v32",
+    "sample_kmer_counts": "v32",
+}
+
+
+def _encode(name: str, arr: np.ndarray):
+    """(blob, enc) for one section; raw when no codec applies."""
+    from ..utils import native
+    enc = _SECTION_ENC.get(name) if native.available else None
+    # per-section pool tags: save_db keeps every blob live until the
+    # write loop, so they must not alias one shared scratch buffer
+    if enc == "d64" and arr.size:
+        return native.vb_encode_delta_u64(
+            np.ascontiguousarray(arr).view(np.uint64),
+            tag=f"vb_{name}"), "d64"
+    if enc == "v32" and arr.size:
+        return native.vb_encode_u32(
+            np.ascontiguousarray(arr).view(np.uint32),
+            tag=f"vb_{name}"), "v32"
+    return arr.view(np.uint8).reshape(-1), "raw"
+
+
+def _decode(blob: np.ndarray, enc: str, dtype: np.dtype, n: int):
+    from ..utils import native
+    if enc == "raw":
+        return blob.view(dtype)[:n]
+    if native.available:
+        if enc == "d64":
+            return native.vb_decode_delta_u64(blob, n).view(dtype)
+        return native.vb_decode_u32(blob, n).view(dtype)
+    return _vb_decode_py(blob, n, delta=enc == "d64").astype(
+        np.uint64 if enc == "d64" else np.uint32).view(dtype)
+
+
+def _vb_decode_py(blob: np.ndarray, n: int, delta: bool) -> np.ndarray:
+    """Vectorized NumPy LEB128 decoder (fallback when the C++ runtime
+    is unavailable; the encoder only runs natively, so this path only
+    reads files produced elsewhere)."""
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    b = blob.astype(np.uint64)
+    ends = np.flatnonzero((blob & 0x80) == 0)[:n]
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    vals = np.zeros(n, dtype=np.uint64)
+    lens = ends - starts + 1
+    for byte_i in range(int(lens.max()) if n else 0):
+        m = lens > byte_i
+        vals[m] |= (b[starts[m] + byte_i] & np.uint64(0x7F)) \
+            << np.uint64(7 * byte_i)
+    if delta:
+        vals = np.cumsum(vals, dtype=np.uint64)
+    return vals
+
 
 def save_db(db: KmerPatternDb, path: str) -> None:
     meta = {
@@ -65,23 +130,27 @@ def save_db(db: KmerPatternDb, path: str) -> None:
         "kmers": np.ascontiguousarray(db.kmers),
         "kmer_pattern_ids": np.ascontiguousarray(db.kmer_pattern_ids),
     }
+    blobs = {}
     sections = {}
     offset = 0
     for name, arr in arrays.items():
+        blob, enc = _encode(name, arr)
+        blobs[name] = blob
         offset = (offset + 63) & ~63
         sections[name] = {"dtype": arr.dtype.str, "n": int(arr.size),
-                          "offset": offset}
-        offset += arr.nbytes
+                          "offset": offset, "nbytes": int(blob.nbytes),
+                          "enc": enc}
+        offset += blob.nbytes
     header = json.dumps({"meta": meta, "sections": sections}).encode()
     base = len(_FLAT_MAGIC) + 8 + len(header)
     with open(path, "wb") as f:
         f.write(_FLAT_MAGIC)
         f.write(np.uint64(len(header)).tobytes())
         f.write(header)
-        for name, arr in arrays.items():
+        for name in arrays:
             pos = base + sections[name]["offset"]
             f.seek(pos)
-            arr.tofile(f)
+            blobs[name].tofile(f)
 
 
 def _load_flat(f, path: str, mode: str) -> KmerPatternDb:
@@ -95,16 +164,19 @@ def _load_flat(f, path: str, mode: str) -> KmerPatternDb:
 
     def read(name):
         s = sections[name]
+        dtype = np.dtype(s["dtype"])
+        enc = s.get("enc", "raw")
+        nbytes = s.get("nbytes", s["n"] * dtype.itemsize)
         f.seek(base + s["offset"])
         # read into a bulk-provisioned buffer: np.fromfile's fresh
         # malloc pages fault one-by-one on sandboxed hosts
         from ..utils.native import alloc_array
-        arr = alloc_array(s["n"], np.dtype(s["dtype"]))
-        got = f.readinto(memoryview(arr.view(np.uint8))) if arr.size else 0
-        if got != arr.nbytes:
+        blob = alloc_array(nbytes, np.uint8)
+        got = f.readinto(memoryview(blob)) if nbytes else 0
+        if got != nbytes:
             raise IOError(f"Truncated k-mer database {path}: section "
-                          f"{name} has {got}/{arr.nbytes} bytes")
-        return arr
+                          f"{name} has {got}/{nbytes} bytes")
+        return _decode(blob, enc, dtype, s["n"])
 
     names_blob = read("sample_names").tobytes().decode()
     db = KmerPatternDb(

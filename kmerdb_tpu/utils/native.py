@@ -119,6 +119,14 @@ def _init():
     lib.kmerdb_intersect_probe.restype = ctypes.c_int64
     lib.kmerdb_intersect_probe.argtypes = [
         ctypes.c_int64, u64p, i32p, ctypes.c_int64, u64p, i32p, i32p, i32p]
+    lib.kmerdb_vb_encode_delta_u64.restype = ctypes.c_int64
+    lib.kmerdb_vb_encode_delta_u64.argtypes = [ctypes.c_int64, u64p, u8p]
+    lib.kmerdb_vb_decode_delta_u64.restype = None
+    lib.kmerdb_vb_decode_delta_u64.argtypes = [ctypes.c_int64, u8p, u64p]
+    lib.kmerdb_vb_encode_u32.restype = ctypes.c_int64
+    lib.kmerdb_vb_encode_u32.argtypes = [ctypes.c_int64, u32p, u8p]
+    lib.kmerdb_vb_decode_u32.restype = None
+    lib.kmerdb_vb_decode_u32.argtypes = [ctypes.c_int64, u8p, u32p]
     _lib = lib
     available = True
 
@@ -132,6 +140,7 @@ def _p(a, t):
 
 _U64P = ctypes.POINTER(ctypes.c_uint64)
 _I64P = ctypes.POINTER(ctypes.c_int64)
+_U32P = ctypes.POINTER(ctypes.c_uint32)
 _I8P = ctypes.POINTER(ctypes.c_int8)
 _U8P = ctypes.POINTER(ctypes.c_uint8)
 
@@ -425,6 +434,41 @@ def gather_ragged_u32(sel: np.ndarray, src_off: np.ndarray,
     _lib.kmerdb_gather_ragged_u32(sel.size, _p(sel, _I64P),
                                   _p(src_off, _I64P), _p(src, _U32P),
                                   _p(out_off, _I64P), _p(out, _U32P))
+
+
+_U8P = ctypes.POINTER(ctypes.c_uint8)
+
+
+def vb_encode_delta_u64(src: np.ndarray, tag: str = "vb64") -> np.ndarray:
+    """Varint-encoded deltas of a non-decreasing uint64 stream.  The
+    result aliases a per-tag pooled buffer: pass distinct tags for
+    blobs that must stay live simultaneously."""
+    out = pool.get(tag, src.size * 10 + 1, np.uint8, populate=False)
+    nb = _lib.kmerdb_vb_encode_delta_u64(src.size, _p(src, _U64P),
+                                         _p(out, _U8P))
+    return out[:nb]
+
+
+def vb_decode_delta_u64(blob: np.ndarray, n: int) -> np.ndarray:
+    out = np.empty(n, dtype=np.uint64)
+    if n:
+        _lib.kmerdb_vb_decode_delta_u64(n, _p(blob, _U8P), _p(out, _U64P))
+    return out
+
+
+def vb_encode_u32(src: np.ndarray, tag: str = "vb32") -> np.ndarray:
+    """Plain LEB128 varints of a uint32 stream (pooled per tag; see
+    vb_encode_delta_u64)."""
+    out = pool.get(tag, src.size * 5 + 1, np.uint8, populate=False)
+    nb = _lib.kmerdb_vb_encode_u32(src.size, _p(src, _U32P), _p(out, _U8P))
+    return out[:nb]
+
+
+def vb_decode_u32(blob: np.ndarray, n: int) -> np.ndarray:
+    out = np.empty(n, dtype=np.uint32)
+    if n:
+        _lib.kmerdb_vb_decode_u32(n, _p(blob, _U8P), _p(out, _U32P))
+    return out
 
 
 def one2all_probe(query: np.ndarray, kmers: np.ndarray,

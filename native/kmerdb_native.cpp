@@ -843,4 +843,74 @@ void kmerdb_metric_row(int32_t metric, const uint32_t* commons,
         out[i] = eval_metric(metric, commons[i], query_cnt, db_cnts[i], k);
 }
 
+// ---------------------------------------------------------------------------
+// LEB128 varint codecs for the database container (io/dbfile.py).
+//
+// The bench hosts sustain only ~30-65 MB/s of file writeback, so the
+// DB file size is directly build wall-clock; sorted k-mer arrays
+// delta+varint to ~25% of raw and the id arrays to ~60%.  Encoders
+// return bytes written; worst case is 10 bytes per u64 / 5 per u32
+// (callers size the output buffer accordingly).
+// ---------------------------------------------------------------------------
+
+static inline uint8_t* vb_put(uint8_t* p, uint64_t v) {
+    while (v >= 0x80) {
+        *p++ = (uint8_t)(v | 0x80);
+        v >>= 7;
+    }
+    *p++ = (uint8_t)v;
+    return p;
+}
+
+static inline const uint8_t* vb_get(const uint8_t* p, uint64_t* v) {
+    uint64_t x = 0;
+    int sh = 0;
+    while (*p & 0x80) {
+        x |= (uint64_t)(*p++ & 0x7f) << sh;
+        sh += 7;
+    }
+    *v = x | ((uint64_t)*p++ << sh);
+    return p;
+}
+
+// non-decreasing u64 stream -> varint deltas
+int64_t kmerdb_vb_encode_delta_u64(int64_t n, const uint64_t* src,
+                                   uint8_t* out) {
+    uint8_t* p = out;
+    uint64_t prev = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        p = vb_put(p, src[i] - prev);
+        prev = src[i];
+    }
+    return (int64_t)(p - out);
+}
+
+void kmerdb_vb_decode_delta_u64(int64_t n, const uint8_t* src,
+                                uint64_t* out) {
+    const uint8_t* p = src;
+    uint64_t prev = 0, d;
+    for (int64_t i = 0; i < n; ++i) {
+        p = vb_get(p, &d);
+        prev += d;
+        out[i] = prev;
+    }
+}
+
+// plain varints of a u32 stream (also used for delta-within-row
+// streams whose deltas the caller prepares)
+int64_t kmerdb_vb_encode_u32(int64_t n, const uint32_t* src, uint8_t* out) {
+    uint8_t* p = out;
+    for (int64_t i = 0; i < n; ++i) p = vb_put(p, src[i]);
+    return (int64_t)(p - out);
+}
+
+void kmerdb_vb_decode_u32(int64_t n, const uint8_t* src, uint32_t* out) {
+    const uint8_t* p = src;
+    uint64_t v;
+    for (int64_t i = 0; i < n; ++i) {
+        p = vb_get(p, &v);
+        out[i] = (uint32_t)v;
+    }
+}
+
 }  // extern "C"
