@@ -482,33 +482,39 @@ int64_t kmerdb_dedup_groups(int64_t G, const uint64_t* h1,
                             const uint64_t* h2, const uint64_t* glen,
                             int64_t* inverse, int64_t* first_group) {
     if (G == 0) return 0;
+    // open-addressing first-touch table: pattern ids are assigned in
+    // input order, one random-access probe chain per group — O(G)
+    // instead of a full 64-bit KV radix sort of the combined hashes.
+    size_t cap = 2;
+    while (cap < (size_t)G * 2) cap <<= 1;
+    const size_t mask = cap - 1;
     static void* dd_buf = nullptr;
     static size_t dd_cap = 0;
-    uint64_t* mem = (uint64_t*)arena_grow(&dd_buf, &dd_cap,
-                                          (size_t)G * 4 * sizeof(uint64_t));
-    if (!mem) return -1;
-    uint64_t* comb = mem;
-    uint64_t* idx = mem + G;
-    uint64_t* tk = mem + 2 * (size_t)G;
-    uint64_t* tv = mem + 3 * (size_t)G;
+    int64_t* slot = (int64_t*)arena_grow(&dd_buf, &dd_cap,
+                                         cap * sizeof(int64_t));
+    if (!slot) return -1;
+    memset(slot, 0xff, cap * sizeof(int64_t));  // -1 = empty
+    int64_t p = 0;
     for (int64_t i = 0; i < G; ++i) {
         uint64_t r = (h2[i] << 17) | (h2[i] >> 47);
-        comb[i] = splitmix(h1[i] ^ r ^ glen[i], 0x9e3779b97f4a7c15ULL);
-        idx[i] = (uint64_t)i;
+        size_t pos = splitmix(h1[i] ^ r ^ glen[i],
+                              0x9e3779b97f4a7c15ULL) & mask;
+        for (;;) {
+            const int64_t f = slot[pos];
+            if (f < 0) {
+                slot[pos] = i;
+                first_group[p] = i;
+                inverse[i] = p++;
+                break;
+            }
+            if (h1[f] == h1[i] && h2[f] == h2[i] && glen[f] == glen[i]) {
+                inverse[i] = inverse[f];
+                break;
+            }
+            pos = (pos + 1) & mask;
+        }
     }
-    kmerdb_radix_sort_kv(G, comb, idx, tk, tv);
-    int64_t p = -1;
-    int64_t prev_j = -1;
-    for (int64_t i = 0; i < G; ++i) {
-        const int64_t j = (int64_t)idx[i];
-        const bool boundary =
-            i == 0 || comb[i] != comb[i - 1] || h1[j] != h1[prev_j]
-            || h2[j] != h2[prev_j] || glen[j] != glen[prev_j];
-        if (boundary) first_group[++p] = j;
-        inverse[j] = p;
-        prev_j = j;
-    }
-    return p + 1;
+    return p;
 }
 
 // ---------------------------------------------------------------------------
