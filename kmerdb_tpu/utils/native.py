@@ -55,8 +55,6 @@ def _init():
         u8p, ctypes.c_int64, ctypes.c_int32, i8p, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_uint64,
         ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int32, u64p]
-    lib.kmerdb_radix_sort_kv.restype = None
-    lib.kmerdb_radix_sort_kv.argtypes = [ctypes.c_int64, u64p, u64p, u64p, u64p]
     lib.kmerdb_radix_sort_k.restype = None
     lib.kmerdb_radix_sort_k.argtypes = [ctypes.c_int64, u64p, u64p]
     lib.kmerdb_unique_u64.restype = ctypes.c_int64
@@ -158,15 +156,6 @@ def extract_contig(seq: np.ndarray, k: int, mapping: np.ndarray, bits: int,
         ctypes.c_uint64(lo_thr), ctypes.c_uint64(hi_thr),
         int(use_filter), _p(out, _U64P))
     return out[:n]
-
-
-def radix_sort_kv(keys: np.ndarray, vals: np.ndarray) -> None:
-    """In-place stable sort of keys (u64) with u64 payload."""
-    assert keys.size == vals.size
-    tk = np.empty_like(keys)
-    tv = np.empty_like(vals)
-    _lib.kmerdb_radix_sort_kv(keys.size, _p(keys, _U64P), _p(vals, _U64P),
-                              _p(tk, _U64P), _p(tv, _U64P))
 
 
 def radix_sort(keys: np.ndarray) -> None:

@@ -197,33 +197,6 @@ static int radix_histograms(int64_t n, const uint64_t* src,
     return live;
 }
 
-void kmerdb_radix_sort_kv(int64_t n, uint64_t* keys, uint64_t* vals,
-                          uint64_t* tkeys, uint64_t* tvals) {
-    if (n <= 1) return;
-    uint64_t* k_src = keys;  uint64_t* v_src = vals;
-    uint64_t* k_dst = tkeys; uint64_t* v_dst = tvals;
-    int64_t counts[8][256];  // 16 KB, fine on the stack
-    const int live = radix_histograms(n, keys, counts);
-    for (int pass = 0; pass < 8; ++pass) {
-        if (!(live & (1 << pass))) continue;
-        const int sh = pass * 8;
-        int64_t* cnt = counts[pass];
-        for (int64_t i = 0; i < n; ++i) {
-            int64_t p = cnt[(k_src[i] >> sh) & 0xff]++;
-            k_dst[p] = k_src[i];
-            v_dst[p] = v_src[i];
-        }
-        uint64_t* t;
-        t = k_src; k_src = k_dst; k_dst = t;
-        t = v_src; v_src = v_dst; v_dst = t;
-    }
-    if (k_src != keys) {
-        memcpy(keys, k_src, (size_t)n * 8);
-        memcpy(vals, v_src, (size_t)n * 8);
-    }
-}
-
-// keys only
 void kmerdb_radix_sort_k(int64_t n, uint64_t* keys, uint64_t* tkeys) {
     if (n <= 1) return;
     uint64_t* src = keys;
