@@ -54,6 +54,101 @@ def _gram_chunk(C, B_i8, w_full, n_limbs):
 
 
 
+def _cross_chunk(C, U_i8, V_i8, w_full, n_limbs):
+    """C += U^T diag(w) V for one pattern-PAIR chunk (XLA limb path).
+
+    The cross-database kernel in MXU form: each intersecting pattern
+    pair (p1, p2) with m shared k-mers contributes
+    m * outer(b1_p1, b2_p2); gathering the incidence rows of the pair
+    list gives C = U^T diag(m) V — the asymmetric twin of the all2all
+    Gram (same 8-bit-limb exactness bounds)."""
+    jax, jnp = jax_modules()
+    U = U_i8.astype(jnp.bfloat16)
+    V = V_i8.astype(jnp.bfloat16)
+    for l in range(n_limbs):
+        w_l = ((w_full >> np.uint32(8 * l)) & np.uint32(0xFF)
+               ).astype(jnp.bfloat16)
+        partial = jax.lax.dot_general(
+            U * w_l[:, None], V,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        C = C + (partial.astype(jnp.uint32) << np.uint32(8 * l))
+    return C
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_d2d():
+    jax, _ = jax_modules()
+    return functools.partial(jax.jit, static_argnames=("n_limbs",))(
+        _d2d_scan_impl)
+
+
+def _d2d_scan_impl(U_all, V_all, w_all, *, n_limbs):
+    jax, jnp = jax_modules()
+    C0 = jnp.zeros((U_all.shape[2], V_all.shape[2]), dtype=jnp.uint32)
+
+    def step(C, chunk):
+        U, V, w = chunk
+        return _cross_chunk(C, U, V, w, n_limbs), None
+
+    C, _ = jax.lax.scan(step, C0, (U_all, V_all, w_all))
+    return C
+
+
+def _gathered_incidence(pids, offs, sids, n_chunks, P_pad, S_pad):
+    """int8[n_chunks, P_pad, S_pad]: row i of chunk c is the sample
+    incidence of pattern pids[c * P_pad + i] (host-built)."""
+    from ..utils import native
+    lens = (offs[1:] - offs[:-1])[pids]
+    B = native.alloc_array(n_chunks * P_pad * S_pad, np.int8,
+                           populate=False).reshape(n_chunks, P_pad, S_pad)
+    for c in range(n_chunks):
+        sel = pids[c * P_pad:(c + 1) * P_pad]
+        l_c = lens[c * P_pad:(c + 1) * P_pad]
+        out_off = np.zeros(sel.size + 1, dtype=np.int64)
+        np.cumsum(l_c, out=out_off[1:])
+        cols = np.empty(out_off[-1], dtype=np.uint32)
+        native.gather_ragged_u32(np.ascontiguousarray(sel), offs,
+                                 sids, out_off[:-1].copy(), cols)
+        rows = np.repeat(np.arange(sel.size, dtype=np.int32),
+                         l_c).astype(np.int32)
+        native.fill_incidence(rows, cols.astype(np.int32), B[c])
+    return B
+
+
+def _d2d_device(db_row, db_col, up1, up2, cnts):
+    """Device tier of db2db: pattern-pair chunks contracted on the MXU."""
+    from . import pallas_gram
+    S1, S2 = db_row.n_samples, db_col.n_samples
+    n_pairs = up1.size
+    P_pad = min(_CHUNK, max(1024, n_pairs))
+    P_pad = -(-P_pad // pallas_gram.TILE) * pallas_gram.TILE
+    n_chunks = -(-n_pairs // P_pad)
+    pad_pairs = n_chunks * P_pad
+    S1_pad = _round_up(S1, pallas_gram.TILE)
+    S2_pad = _round_up(S2, pallas_gram.TILE)
+
+    up1_p = np.zeros(pad_pairs, dtype=np.int64)
+    up2_p = np.zeros(pad_pairs, dtype=np.int64)
+    w_all = np.zeros((n_chunks, P_pad), dtype=np.uint32)
+    up1_p[:n_pairs] = up1
+    up2_p[:n_pairs] = up2
+    w_all.reshape(-1)[:n_pairs] = cnts
+    # pad rows point at pattern 0 but carry weight 0 -> no contribution
+    o1 = np.ascontiguousarray(db_row.pattern_offsets, dtype=np.int64)
+    s1 = np.ascontiguousarray(db_row.pattern_sample_ids, dtype=np.uint32)
+    o2 = np.ascontiguousarray(db_col.pattern_offsets, dtype=np.int64)
+    s2 = np.ascontiguousarray(db_col.pattern_sample_ids, dtype=np.uint32)
+    U_all = _gathered_incidence(up1_p, o1, s1, n_chunks, P_pad, S1_pad)
+    V_all = _gathered_incidence(up2_p, o2, s2, n_chunks, P_pad, S2_pad)
+
+    n_limbs = max(1, (int(cnts.max()).bit_length() + 7) // 8)
+    _, jnp = jax_modules()
+    C = np.asarray(_jit_d2d()(jnp.asarray(U_all), jnp.asarray(V_all),
+                              jnp.asarray(w_all), n_limbs=n_limbs))
+    return C[:S1, :S2]
+
+
 def _run_length_counts(sorted_arr: np.ndarray):
     """(unique_values int64[], counts uint32[]) of a sorted array."""
     if sorted_arr.size == 0:
@@ -441,6 +536,13 @@ def db2db_counts(db_row: KmerPatternDb, db_col: KmerPatternDb) -> np.ndarray:
     upair, cnts = _run_length_counts(pair)
     up1 = (upair // db_col.n_patterns).astype(np.int64)
     up2 = (upair % db_col.n_patterns).astype(np.int64)
+
+    # device tier (KMERDB_D2D_DEVICE=1): pattern-pair chunks contracted
+    # on the MXU as C = U^T diag(counts) V over gathered incidence rows
+    import os
+    if os.environ.get("KMERDB_D2D_DEVICE") == "1" and native.available:
+        return _d2d_device(db_row, db_col, up1, up2,
+                           np.ascontiguousarray(cnts, dtype=np.uint32))
 
     o1 = np.ascontiguousarray(db_row.pattern_offsets, dtype=np.int64)
     s1 = np.ascontiguousarray(db_row.pattern_sample_ids, dtype=np.uint32)

@@ -76,6 +76,18 @@ def test_n2a_device_env(monkeypatch):
         intersect.many2all_counts(db, queries), host)
 
 
+def test_d2d_device_env(monkeypatch):
+    """KMERDB_D2D_DEVICE=1 contracts pattern-pair chunks on the
+    device (C = U^T diag(counts) V); results must equal the host
+    cross_apply exactly, including count weights above one limb."""
+    dbA = _db(n_samples=5, n_kmers=600, seed=6)
+    dbB = _db(n_samples=7, n_kmers=600, seed=6)  # same pool -> overlap
+    host = intersect.db2db_counts(dbA, dbB)
+    assert host.max() > 0, "test corpus must actually intersect"
+    monkeypatch.setenv("KMERDB_D2D_DEVICE", "1")
+    np.testing.assert_array_equal(intersect.db2db_counts(dbA, dbB), host)
+
+
 def test_n2a_pallas_tier_falls_back(monkeypatch, capsys):
     from kmerdb_tpu.ops import pallas_gram
     db = _db(seed=4)
