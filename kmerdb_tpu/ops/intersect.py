@@ -503,19 +503,13 @@ def m2a_prepare(db: KmerPatternDb, queries: list[np.ndarray],
     return H_all, B_all, n_limbs
 
 
-def db2db_counts(db_row: KmerPatternDb, db_col: KmerPatternDb) -> np.ndarray:
-    """uint32[S_row, S_col] cross-database common-k-mer counts
-    (reference db2db_sp, similarity_calculator.cpp:1225-1540).
-
-    Sorted-merge intersection of the two k-mer arrays -> (pid1, pid2)
-    match counts M, then C = B1^T M B2 applied through the CSRs.
-    """
+def d2d_pairs(db_row: KmerPatternDb, db_col: KmerPatternDb):
+    """Intersect the two sorted k-mer arrays and run-length-count the
+    matched (pid1, pid2) pattern pairs: returns (up1, up2, counts) or
+    None when the databases share no k-mers."""
     from ..utils import native
-    S1, S2 = db_row.n_samples, db_col.n_samples
-    C = np.zeros((S1, S2), dtype=np.uint32)
     if db_row.n_kmers == 0 or db_col.n_kmers == 0:
-        return C
-    # intersect sorted unique arrays
+        return None
     if native.available:
         p1, p2 = native.intersect_probe(
             np.ascontiguousarray(db_row.kmers),
@@ -529,13 +523,29 @@ def db2db_counts(db_row: KmerPatternDb, db_col: KmerPatternDb) -> np.ndarray:
         p1 = db_row.kmer_pattern_ids[found]
         p2 = db_col.kmer_pattern_ids[idx[found]]
     if p1.size == 0:
-        return C
-    # run-length count of (p1, p2) pairs
+        return None
     pair = p1.astype(np.int64) * db_col.n_patterns + p2.astype(np.int64)
     pair.sort(kind="stable")
     upair, cnts = _run_length_counts(pair)
     up1 = (upair // db_col.n_patterns).astype(np.int64)
     up2 = (upair % db_col.n_patterns).astype(np.int64)
+    return up1, up2, np.ascontiguousarray(cnts, dtype=np.uint32)
+
+
+def db2db_counts(db_row: KmerPatternDb, db_col: KmerPatternDb) -> np.ndarray:
+    """uint32[S_row, S_col] cross-database common-k-mer counts
+    (reference db2db_sp, similarity_calculator.cpp:1225-1540).
+
+    Sorted-merge intersection of the two k-mer arrays -> (pid1, pid2)
+    match counts M, then C = B1^T M B2 applied through the CSRs.
+    """
+    from ..utils import native
+    S1, S2 = db_row.n_samples, db_col.n_samples
+    C = np.zeros((S1, S2), dtype=np.uint32)
+    pairs = d2d_pairs(db_row, db_col)
+    if pairs is None:
+        return C
+    up1, up2, cnts = pairs
 
     # device tier (KMERDB_D2D_DEVICE=1): pattern-pair chunks contracted
     # on the MXU as C = U^T diag(counts) V over gathered incidence rows

@@ -130,6 +130,84 @@ def many2all_counts_sharded(db: KmerPatternDb, queries, mesh: Mesh
     return np.asarray(C)[:Q, :S]
 
 
+@functools.partial(jax.jit, static_argnames=("mesh", "n_limbs"))
+def _d2d_sharded(U_all, V_all, w_all, *, mesh, n_limbs):
+    from ..ops.intersect import _cross_chunk
+
+    def step(U_l, V_l, w_l):
+        # drop the size-1 shard axis: [sub, 1, P, S] -> [sub, P, S]
+        U_l, V_l, w_l = U_l[:, 0], V_l[:, 0], w_l[:, 0]
+        C0 = jnp.zeros((U_l.shape[2], V_l.shape[2]), jnp.uint32)
+        try:
+            C0 = jax.lax.pcast(C0, ("shard",), to="varying")
+        except (AttributeError, TypeError):
+            C0 = jax.lax.pvary(C0, ("shard",))
+
+        def body(C, chunk):
+            U, V, w = chunk
+            return _cross_chunk(C, U, V, w, n_limbs), None
+
+        C, _ = jax.lax.scan(body, C0, (U_l, V_l, w_l))
+        return jax.lax.psum(C, "shard")
+
+    return shard_map(
+        step, mesh=mesh,
+        in_specs=(P(None, "shard"), P(None, "shard"), P(None, "shard")),
+        out_specs=P())(U_all, V_all, w_all)
+
+
+def db2db_counts_sharded(db_row: KmerPatternDb, db_col: KmerPatternDb,
+                         mesh: Mesh) -> np.ndarray:
+    """Pattern-pair-sharded cross-database counts: the intersecting
+    (p1, p2) pair list is split across the mesh, each device contracts
+    its pairs as C_partial = U^T diag(m) V, and one psum merges
+    (uint32: exact, order-free) — the reference's double-buffered
+    decompressor/worker teams (similarity_calculator.cpp:1340-1529)
+    as SPMD."""
+    from ..ops import intersect
+    from ..ops import pallas_gram
+    from ..utils import native
+    S1, S2 = db_row.n_samples, db_col.n_samples
+    C = np.zeros((S1, S2), dtype=np.uint32)
+    pairs = intersect.d2d_pairs(db_row, db_col)
+    if pairs is None:
+        return C
+    if not native.available:
+        return intersect.db2db_counts(db_row, db_col)
+    up1, up2, cnts = pairs
+    D = mesh.devices.size
+    n_pairs = up1.size
+    # per-device pair budget, sub-chunked at _SUB for f32 exactness
+    per_dev = -(-n_pairs // D)
+    P_pad = min(_SUB, max(128, per_dev))
+    P_pad = -(-P_pad // pallas_gram.TILE) * pallas_gram.TILE
+    sub = -(-per_dev // P_pad)
+    total = D * sub * P_pad
+    up1_p = np.zeros(total, dtype=np.int64)
+    up2_p = np.zeros(total, dtype=np.int64)
+    w_p = np.zeros(total, dtype=np.uint32)
+    up1_p[:n_pairs] = up1
+    up2_p[:n_pairs] = up2
+    w_p[:n_pairs] = cnts
+    S1_pad = -(-S1 // pallas_gram.TILE) * pallas_gram.TILE
+    S2_pad = -(-S2 // pallas_gram.TILE) * pallas_gram.TILE
+    o1 = np.ascontiguousarray(db_row.pattern_offsets, dtype=np.int64)
+    s1 = np.ascontiguousarray(db_row.pattern_sample_ids, dtype=np.uint32)
+    o2 = np.ascontiguousarray(db_col.pattern_offsets, dtype=np.int64)
+    s2 = np.ascontiguousarray(db_col.pattern_sample_ids, dtype=np.uint32)
+    U_all = intersect._gathered_incidence(
+        up1_p, o1, s1, D * sub, P_pad, S1_pad).reshape(
+            D, sub, P_pad, S1_pad).transpose(1, 0, 2, 3)
+    V_all = intersect._gathered_incidence(
+        up2_p, o2, s2, D * sub, P_pad, S2_pad).reshape(
+            D, sub, P_pad, S2_pad).transpose(1, 0, 2, 3)
+    w_all = w_p.reshape(D, sub, P_pad).transpose(1, 0, 2)
+    n_limbs = max(1, (int(cnts.max()).bit_length() + 7) // 8)
+    C = _d2d_sharded(jnp.asarray(U_all), jnp.asarray(V_all),
+                     jnp.asarray(w_all), mesh=mesh, n_limbs=n_limbs)
+    return np.asarray(C)[:S1, :S2]
+
+
 def extract_sharded(seqs, lengths, k: int, alphabet_name: str, mesh: Mesh,
                     fraction: float = 1.0, start: float = 0.0):
     """Data-parallel k-mer extraction: the padded contig batch is

@@ -59,3 +59,30 @@ def test_many2all_sharded_matches_single():
     single = intersect.many2all_counts(db, queries, use_device=False)
     sharded = many2all_counts_sharded(db, queries, mesh8)
     np.testing.assert_array_equal(sharded, single)
+
+
+def test_db2db_sharded_matches_single():
+    """Pattern-pair-sharded cross-DB counts == host cross_apply."""
+    from kmerdb_tpu.parallel.sharded import db2db_counts_sharded
+    from kmerdb_tpu.utils import native
+    if not native.available:
+        pytest.skip("no native lib")
+    mesh8 = make_mesh(8)
+
+    rng = np.random.default_rng(29)
+    pool = rng.integers(0, 1 << 40, size=3000, dtype=np.uint64)
+
+    def mk(n, seed):
+        r = np.random.default_rng(seed)
+        return builder.add_samples(
+            KmerPatternDb(kmer_length=18, fraction=1.0,
+                          alphabet_name="nt"),
+            [(f"s{i}", np.unique(pool[r.random(pool.size)
+                                      < r.uniform(0.2, 0.7)]))
+             for i in range(n)])
+
+    dbA, dbB = mk(5, 1), mk(9, 2)
+    host = intersect.db2db_counts(dbA, dbB)
+    assert host.max() > 0
+    np.testing.assert_array_equal(
+        db2db_counts_sharded(dbA, dbB, mesh8), host)
