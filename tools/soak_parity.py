@@ -203,6 +203,15 @@ def one_case(case, seed):
         ours(["all2all", "-sparse", *fargs, tmp / "o.db", tmp / "o.sp"], td)
         cmp_bytes(tmp / "r.sp", tmp / "o.sp", f"a2a sparse {fargs} [{tag}]")
 
+        # distance over SPARSE input (triangle autodetect + sparse out)
+        m2 = METRICS[int(rng.integers(0, len(METRICS)))]
+        d2 = [m2] + (["-phylip-out"] if rng.integers(0, 2) else
+                     (["-sparse"] if rng.integers(0, 2) else []))
+        ref(["distance", *d2, tmp / "r.sp", tmp / "r.d2"], td)
+        ours(["distance", *d2, tmp / "o.sp", tmp / "o.d2"], td)
+        cmp_bytes(tmp / "r.d2", tmp / "o.d2",
+                  f"distance-sparse {d2} [{tag}]")
+
         # all2all-sp (+ sometimes sampling best)
         spargs = list(fargs)
         sample_best = bool(rng.integers(0, 2))
