@@ -91,22 +91,27 @@ def gram_u32(B, w, *, n_limbs: int, interpret: bool | None = None):
     P, S = B.shape
     grid = (S // TILE, S // TILE, P // KT)
     kernel = functools.partial(_gram_tile_kernel, n_limbs=n_limbs)
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((KT, 1), lambda i, j, k: (k, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((KT, TILE), lambda i, j, k: (k, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((KT, TILE), lambda i, j, k: (k, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((TILE, TILE), lambda i, j, k: (i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((S, S), jnp.uint32),
-        interpret=interpret,
-    )(w, B, B)
+    # Mosaic cannot legalize the i64 scalars that x64 tracing injects
+    # into the grid pipeline ("failed to legalize func.return (i32,
+    # i64)"), so the kernel must be traced in 32-bit mode; every
+    # operand dtype here is <= 32 bits, so semantics are unchanged.
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((KT, 1), lambda i, j, k: (k, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((KT, TILE), lambda i, j, k: (k, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((KT, TILE), lambda i, j, k: (k, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((TILE, TILE), lambda i, j, k: (i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((S, S), jnp.uint32),
+            interpret=interpret,
+        )(w, B, B)
 
 
 def gram_u32_tri(B, w, *, n_limbs: int, interpret: bool | None = None):
@@ -140,12 +145,14 @@ def gram_u32_tri(B, w, *, n_limbs: int, interpret: bool | None = None):
                                lambda t, k, it, jt: (it[t], jt[t])),
     )
     kernel = functools.partial(_gram_tile_tri_kernel, n_limbs=n_limbs)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((S, S), jnp.uint32),
-        interpret=interpret,
-    )(jnp.asarray(i_tab), jnp.asarray(j_tab), w, B, B)
+    # 32-bit tracing: see gram_u32 (x64 breaks Mosaic grid plumbing)
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((S, S), jnp.uint32),
+            interpret=interpret,
+        )(jnp.asarray(i_tab), jnp.asarray(j_tab), w, B, B)
 
 
 def _gram_tile_tri_kernel(it_ref, jt_ref, w_ref, bi_ref, bj_ref, out_ref,
@@ -197,20 +204,22 @@ def matmul_u32(H, B, *, n_limbs: int, interpret: bool | None = None):
     S = B.shape[1]
     grid = (Q // TILE, S // TILE, P // KT)
     kernel = functools.partial(_matmul_tile_kernel, n_limbs=n_limbs)
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((TILE, KT), lambda q, s, k: (q, k),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((KT, TILE), lambda q, s, k: (k, s),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((TILE, TILE), lambda q, s, k: (q, s),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Q, S), jnp.uint32),
-        interpret=interpret,
-    )(H, B)
+    # 32-bit tracing: see gram_u32 (x64 breaks Mosaic grid plumbing)
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((TILE, KT), lambda q, s, k: (q, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((KT, TILE), lambda q, s, k: (k, s),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((TILE, TILE), lambda q, s, k: (q, s),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Q, S), jnp.uint32),
+            interpret=interpret,
+        )(H, B)
 
 
 def matmul_u32_reference(H, B, *, n_limbs: int):
