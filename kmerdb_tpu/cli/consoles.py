@@ -226,16 +226,22 @@ def run_new2all(p):
             # per-query galloping probes otherwise); rows stay in
             # input order either way
             M = intersect.many2all_counts(db, queries)
+            filt = None
+            if p.sparse_out:
+                # one filter for the whole batch (row axis = queries);
+                # per-row masks vectorize — no per-cell Python at scale
+                filt = _matrix_filter(
+                    p, db, query_counts=np.array(
+                        [q.size for q in queries], dtype=np.uint32))
             for i, (name, q) in enumerate(zip(names, queries)):
                 sims = M[i]
                 cnt = int(q.size)
                 if p.sparse_out:
-                    filt = _matrix_filter(
-                        p, db, query_counts=np.array([cnt], dtype=np.uint32))
-                    pairs = []
-                    for j in np.flatnonzero(sims):
-                        if filt(int(sims[j]), 0, int(j)):
-                            pairs.append((int(j) + 1, int(sims[j])))
+                    nz = np.flatnonzero(sims)
+                    keep = filt.mask_row(sims[nz], i, nz)
+                    kept = nz[keep]
+                    pairs = list(zip((kept + 1).tolist(),
+                                     sims[kept].tolist()))
                     ofs.write(csvio.sparse_row_pairs(name, cnt, pairs))
                 else:
                     ofs.write(csvio.dense_row(name, cnt, sims))

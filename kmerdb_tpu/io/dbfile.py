@@ -154,9 +154,20 @@ def save_db(db: KmerPatternDb, path: str) -> None:
 
 
 def _load_flat(f, path: str, mode: str) -> KmerPatternDb:
-    hlen = int(np.frombuffer(f.read(8), dtype=np.uint64)[0])
-    hdr = json.loads(f.read(hlen).decode())
-    meta = hdr["meta"]
+    # corrupt/truncated headers must surface as the IOError contract
+    # every caller (and the npz path) observes, not raw ValueError/
+    # KeyError/JSONDecodeError
+    try:
+        raw = f.read(8)
+        if len(raw) != 8:
+            raise ValueError("short header length field")
+        hlen = int(np.frombuffer(raw, dtype=np.uint64)[0])
+        hdr = json.loads(f.read(hlen).decode())
+        meta = hdr["meta"]
+    except IOError:
+        raise
+    except Exception as e:
+        raise IOError(f"Cannot open k-mer database {path}") from e
     if meta.get("magic") != _MAGIC:
         raise IOError(f"Not a kmerdb_tpu database: {path}")
     sections = hdr["sections"]
@@ -178,17 +189,22 @@ def _load_flat(f, path: str, mode: str) -> KmerPatternDb:
                           f"{name} has {got}/{nbytes} bytes")
         return _decode(blob, enc, dtype, s["n"])
 
-    names_blob = read("sample_names").tobytes().decode()
-    db = KmerPatternDb(
-        kmer_length=meta["kmer_length"],
-        fraction=meta["fraction"],
-        start_fraction=meta["start_fraction"],
-        alphabet_name=meta["alphabet"],
-        sample_names=names_blob.split("\n") if names_blob else [],
-        sample_kmer_counts=read("sample_kmer_counts"),
-    )
-    for name in _MODE_SECTIONS[mode]:
-        setattr(db, name, read(name))
+    try:
+        names_blob = read("sample_names").tobytes().decode()
+        db = KmerPatternDb(
+            kmer_length=meta["kmer_length"],
+            fraction=meta["fraction"],
+            start_fraction=meta["start_fraction"],
+            alphabet_name=meta["alphabet"],
+            sample_names=names_blob.split("\n") if names_blob else [],
+            sample_kmer_counts=read("sample_kmer_counts"),
+        )
+        for name in _MODE_SECTIONS[mode]:
+            setattr(db, name, read(name))
+    except IOError:
+        raise
+    except Exception as e:
+        raise IOError(f"Cannot open k-mer database {path}") from e
     return db
 
 

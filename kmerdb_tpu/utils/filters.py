@@ -238,12 +238,23 @@ class CombinedFilter:
         c1 = np.uint32(self.row_counts[row_id])
         c2 = np.asarray(self.col_counts, dtype=np.uint32)[col_ids]
         keep = np.ones(values.size, dtype=bool)
+        suspect = np.zeros(values.size, dtype=bool)
         with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
             for name, f in self.metric_filters.items():
                 v = _VECTOR_METRICS[name](c, c1, c2, self.kmer_length)
                 keep &= (v >= f.bounds[0]) & (v <= f.bounds[1])
+                # numpy's SIMD transcendentals can differ from the
+                # scalar glibc path by 1 ulp; values landing on a user
+                # bound get re-decided through the exact scalar path
+                for b in f.bounds:
+                    if np.isfinite(b):
+                        tol = 4 * np.finfo(np.float64).eps \
+                            * np.maximum(np.abs(v), abs(b))
+                        suspect |= np.abs(v - b) <= tol
         keep &= (values >= self.kmer_filter.bounds[0]) \
             & (values <= self.kmer_filter.bounds[1])
+        for i in np.flatnonzero(suspect):
+            keep[i] = self(int(values[i]), row_id, int(col_ids[i]))
         return keep
 
     @property
