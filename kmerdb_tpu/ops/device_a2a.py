@@ -1,0 +1,243 @@
+"""Streamed, bit-packed, Pallas-first device tier for all2all.
+
+Replaces the round-1 device path (host-resident dense int8 incidence +
+one giant XLA scan) with a design shaped by measured properties of the
+bench TPU rig (2026-08-16, v5e via the axon tunnel):
+
+* XLA programs containing dot_general take 4-8 MINUTES to compile
+  through the remote-compile service, per process, and the persistent
+  compile cache does not help — while Pallas (Mosaic) kernels compile
+  in ~1-2 s.  CLI runs are always fresh processes, so the device tier
+  must avoid XLA dot_general entirely: the Gram runs in the Pallas
+  triangle kernel (ops/pallas_gram.py), and the only XLA programs are
+  elementwise (bit unpack, accumulate) and a gather (triangle pack).
+* Host->device push sustains ~1 GB/s but device->host pull only
+  ~10 MB/s, so the incidence ships BIT-PACKED (8x fewer bytes, and 8x
+  less host zeroing) and the result is pulled ONCE as a packed lower
+  triangle (half the bytes of the full matrix).
+* Host RAM stays bounded: one reusable packed group buffer
+  (KMERDB_A2A_GROUP_MB, default 256 MB) regardless of database size —
+  the round-1 path materialized the entire incidence at once
+  (>= n_patterns x S_pad bytes), which OOMed exactly at the scales
+  the device targets.
+
+Pattern weights are order-invariant under the Gram (C = sum_p w_p
+b_p b_p^T), so patterns are partitioned into a light class (w < 256,
+one 8-bit limb — the vast majority in real pangenome databases) and a
+heavy class (everything else, limbed to the class max), instead of
+running every pattern at the global limb count.
+
+Reference role: the all2all similarity stage,
+src/similarity_calculator.cpp:42-438 + src/simd/row_add_avx2.cpp:31-125.
+"""
+
+import functools
+import os
+import time
+
+import numpy as np
+
+from .._jaxinit import jax_modules
+from ..models.database import KmerPatternDb
+
+#: rows per Pallas Gram call are padded to KT (pallas_gram.KT)
+
+#: measured rig constants (overridable for other hosts); see module doc
+_COST = {
+    "push_Bps":  float(os.environ.get("KMERDB_COST_PUSH_BPS",  1.0e9)),
+    "pull_Bps":  float(os.environ.get("KMERDB_COST_PULL_BPS",  1.0e7)),
+    "dev_flops": float(os.environ.get("KMERDB_COST_DEV_FLOPS", 1.5e13)),
+    "host_rate": float(os.environ.get("KMERDB_COST_HOST_RATE", 3.5e10)),
+    "fixed_s":   float(os.environ.get("KMERDB_COST_DEV_FIXED_S", 8.0)),
+    "fill_Bps":  float(os.environ.get("KMERDB_COST_FILL_BPS",  2.0e9)),
+}
+
+#: per-run phase timings of the last device all2all (for bench/MFU)
+last_stats: dict = {}
+
+_warmup_thread = None
+
+
+def warmup_async() -> None:
+    """Fire a tiny Mosaic compile on a background thread.
+
+    The remote compile service pays a large, highly variable one-time
+    init (dlopen + PJRT plugin + metadata lookups, observed 1-140 s)
+    on a process's first compile; issuing a throwaway kernel early
+    overlaps that init with host-side work (db load, incidence fill),
+    so the real kernels compile in ~0.5 s when they're needed."""
+    global _warmup_thread
+    if _warmup_thread is not None:
+        return
+
+    def _go():
+        try:
+            jax, _ = jax_modules()
+            from . import pallas_gram
+            KT, TILE = pallas_gram.KT, pallas_gram.TILE
+            Bp = jax.device_put(np.zeros((KT // 8, TILE), np.uint8))
+            w = jax.device_put(np.zeros((KT, 1), np.uint32))
+            C = jax.device_put(np.zeros((TILE, TILE), np.uint32))
+            C = pallas_gram.gram_u32_pk_tri(Bp, w, C, n_limbs=1)
+            np.asarray(pallas_gram.tril_tiles(C))
+        except Exception:
+            pass
+
+    import threading
+    _warmup_thread = threading.Thread(target=_go, daemon=True)
+    _warmup_thread.start()
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _limb_split(w: np.ndarray):
+    """(light_pids, heavy_pids, heavy_limbs): light patterns fit one
+    8-bit limb; heavy patterns are limbed to the heavy-class max."""
+    light_mask = w < 256
+    light = np.flatnonzero(light_mask).astype(np.int64)
+    heavy = np.flatnonzero(~light_mask).astype(np.int64)
+    heavy_limbs = 0
+    if heavy.size:
+        heavy_limbs = (int(w[heavy].max()).bit_length() + 7) // 8
+    return light, heavy, heavy_limbs
+
+
+def plan_flops(db: KmerPatternDb, s_pad: int | None = None) -> float:
+    """MXU FLOPs of the triangle device plan (for cost model / MFU)."""
+    from . import pallas_gram
+    S_pad = s_pad or _round_up(max(db.n_samples, 1), pallas_gram.TILE)
+    w = db.pattern_num_kmers
+    if w.size == 0:
+        return 0.0
+    light, heavy, hl = _limb_split(w)
+    nt = S_pad // pallas_gram.TILE
+    tri_frac = (nt + 1) / (2 * nt)  # triangle tiles / full grid
+    rows = (_round_up(light.size, pallas_gram.KT)
+            + _round_up(heavy.size, pallas_gram.KT) * hl)
+    return 2.0 * rows * S_pad * S_pad * tri_frac
+
+
+def device_cost_s(db: KmerPatternDb) -> float:
+    """Predicted wall seconds of the device tier (cold process)."""
+    from . import pallas_gram
+    S_pad = _round_up(max(db.n_samples, 1), pallas_gram.TILE)
+    P = db.n_patterns
+    packed = float(P) * (S_pad // 8)
+    tril = db.n_samples * (db.n_samples + 1) / 2 * 4
+    return (_COST["fixed_s"]
+            + plan_flops(db) / _COST["dev_flops"]
+            + packed / _COST["push_Bps"]
+            + packed / _COST["fill_Bps"]
+            + tril / _COST["pull_Bps"])
+
+
+def host_cost_s(db: KmerPatternDb) -> float:
+    """Predicted wall seconds of the host C++ scatter kernel."""
+    lens = np.diff(db.pattern_offsets)
+    return float(np.dot(lens, lens)) / _COST["host_rate"]
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_group_step(n_limbs: int):
+    """One group update C' = C + Bp-packed triangle Gram, entirely
+    inside the Mosaic kernel (bit unpack + limb matmuls + C
+    accumulation) — the only XLA wrapping is the pallas custom call,
+    which compiles in ~1-2 s through the remote service where plain
+    XLA programs take minutes."""
+    jax, _ = jax_modules()
+    from . import pallas_gram
+
+    def step(C, Bp, w):
+        return pallas_gram.gram_u32_pk_tri(Bp, w, C, n_limbs=n_limbs)
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def all2all_device(db: KmerPatternDb) -> np.ndarray:
+    """Full symmetric uint32[S, S] common-k-mer matrix on the TPU.
+
+    Streams bit-packed pattern groups through the Pallas triangle Gram
+    kernel, accumulating C on-device; pulls the packed lower triangle
+    once and mirrors it on the host.
+    """
+    jax, jnp = jax_modules()
+    from . import pallas_gram
+    from ..utils import native
+
+    S = db.n_samples
+    if S > 46340:
+        raise ValueError("triangle pack exceeds int32; use striped path")
+    t0 = time.perf_counter()
+    TILE, KT = pallas_gram.TILE, pallas_gram.KT
+    S_pad = _round_up(S, TILE)
+
+    offs = np.ascontiguousarray(db.pattern_offsets, dtype=np.int64)
+    sids = np.ascontiguousarray(db.pattern_sample_ids, dtype=np.uint32)
+    w = db.pattern_num_kmers
+    light, heavy, heavy_limbs = _limb_split(w)
+
+    group_bytes = int(os.environ.get("KMERDB_A2A_GROUP_MB", "256")) << 20
+    group_rows = max(KT, (group_bytes * 8 // S_pad) // KT * KT)
+    # no point sizing the scratch beyond the largest class
+    group_rows = min(group_rows,
+                     _round_up(max(light.size, heavy.size, 1), KT))
+
+    # device_put instead of jnp.zeros: a 16 MB push beats compiling a
+    # fill program through the remote service
+    C = jax.device_put(np.zeros((S_pad, S_pad), dtype=np.uint32))
+    buf = native.alloc_array(group_rows // 8 * S_pad, np.uint8,
+                             populate=False).reshape(group_rows // 8,
+                                                     S_pad) \
+        if native.available else np.zeros((group_rows // 8, S_pad),
+                                          np.uint8)
+    wbuf = np.zeros(group_rows, dtype=np.uint32)
+
+    t_fill = 0.0
+    t_push = 0.0
+    flops = 0.0
+    nt = S_pad // TILE
+    tri_frac = (nt + 1) / (2 * nt)
+    for pids, n_limbs in ((light, 1), (heavy, heavy_limbs)):
+        if pids.size == 0:
+            continue
+        step = _jit_group_step(n_limbs)
+        for g0 in range(0, pids.size, group_rows):
+            gp = pids[g0:g0 + group_rows]
+            rows = _round_up(gp.size, KT)
+            ta = time.perf_counter()
+            buf[:rows // 8] = 0
+            wbuf[:rows] = 0
+            if native.available:
+                native.fill_incidence_bits(gp, offs, sids, buf)
+            else:
+                for i, p in enumerate(gp):
+                    cols = sids[offs[p]:offs[p + 1]]
+                    buf[i >> 3, cols] |= np.uint8(1 << (i & 7))
+            wbuf[:gp.size] = w[gp]
+            tb = time.perf_counter()
+            Bp = jax.device_put(buf[:rows // 8])
+            wg = jax.device_put(
+                pallas_gram.pk_weight_order(wbuf[:rows]).reshape(-1, 1))
+            tc = time.perf_counter()
+            C = step(C, Bp, wg)
+            flops += 2.0 * rows * S_pad * S_pad * tri_frac * n_limbs
+            t_fill += tb - ta
+            t_push += tc - tb
+
+    t1 = time.perf_counter()
+    tiles = np.asarray(pallas_gram.tril_tiles(C))
+    t2 = time.perf_counter()
+    out = pallas_gram.untile_symmetric(tiles, S)
+    t3 = time.perf_counter()
+
+    last_stats.update({
+        "S": S, "S_pad": S_pad, "n_patterns": int(db.n_patterns),
+        "light_patterns": int(light.size), "heavy_patterns": int(heavy.size),
+        "heavy_limbs": heavy_limbs, "flops": flops,
+        "fill_s": t_fill, "push_s": t_push,
+        "compute_pull_s": t2 - t1, "mirror_s": t3 - t2,
+        "total_s": t3 - t0,
+    })
+    return out

@@ -249,21 +249,31 @@ def all2all_counts(db: KmerPatternDb, chunk: int = _CHUNK) -> np.ndarray:
     sids = db.pattern_sample_ids
     w = db.pattern_num_kmers
 
-    # Path choice: work = sum over patterns of |set|^2 (the scatter op
-    # count).  The host C++ kernel does ~0.5-1e9 adds/s with zero
-    # startup; the device path is far faster warm but pays a one-time
-    # XLA/Mosaic compile per shape (O(10s) on TPU VMs, minutes through
-    # tunneled remote-compile services) — so short-lived CLI runs stay
-    # on the host until the work is large enough to amortize a compile.
-    # KMERDB_A2A_DEVICE=1 forces the device path, =0 forces host.
+    # Tier choice by measured cost model (device_a2a._COST, fitted on
+    # the bench rig): the host C++ scatter has zero startup while the
+    # device tier pays fixed compile/transfer overhead but sustains
+    # MXU-rate FLOPs — so small CLI runs stay on host and large
+    # databases go to the TPU.  KMERDB_A2A_DEVICE=1 forces device,
+    # =0 forces host; KMERDB_A2A_PALLAS=0 selects the legacy XLA limb
+    # scan instead of the packed Pallas tier (warm-process setups).
     import os
+    from . import device_a2a
+    from .pallas_gram import on_tpu
     from ..utils import native
     device_env = os.environ.get("KMERDB_A2A_DEVICE", "")
-    if native.available and device_env != "1":
-        lens = np.diff(offs)
-        host_work = int(np.dot(lens, lens))
-        if host_work < (1 << 36) or device_env == "0":
-            return native.a2a_dense(offs, sids, w, S)
+    want_device = device_env == "1" or (
+        device_env != "0" and native.available and on_tpu()
+        and device_a2a.device_cost_s(db) < device_a2a.host_cost_s(db))
+    if want_device and os.environ.get("KMERDB_A2A_PALLAS") != "0":
+        device_a2a.warmup_async()
+        try:
+            return device_a2a.all2all_device(db)
+        except Exception as e:
+            from ..utils import log
+            log.normal(f"WARNING: packed pallas all2all tier failed, "
+                       f"falling back: {e}")
+    if native.available and not want_device:
+        return native.a2a_dense(offs, sids, w, S)
 
     el_pid = db.element_pattern_ids()
 

@@ -163,6 +163,173 @@ def _gram_tile_tri_kernel(it_ref, jt_ref, w_ref, bi_ref, bj_ref, out_ref,
     _gram_body(pl.program_id(1), w_ref, bi_ref, bj_ref, out_ref, n_limbs)
 
 
+def _unpack_pk(bp):
+    """(KT//8, TILE) uint8 packed bits -> (KT, TILE) bfloat16 0/1.
+
+    Bit b of byte-row k holds pattern 8k + b; the concat emits rows in
+    b-major order (concat-row b*(KT//8) + k), so callers must permute
+    the weight vector identically (w.reshape(-1, KT//8, 8)
+    .transpose(0, 2, 1)).  Packing along the pattern (sublane) axis
+    keeps the lane dimension at TILE=128 — packing along samples would
+    leave 16-byte lanes, which Mosaic relayouts poorly."""
+    b32 = bp.astype(jnp.int32)
+    rows = [((b32 >> b) & 1) for b in range(8)]
+    return jnp.concatenate(rows, axis=0).astype(
+        jnp.float32).astype(jnp.bfloat16)
+
+
+def _gram_pk_tri_kernel(it_ref, jt_ref, w_ref, bpi_ref, bpj_ref, c_ref,
+                        out_ref, *, n_limbs):
+    """One (t, k) step of the packed triangle Gram with C accumulation.
+
+    c_ref is the running C tile (aliased to out_ref's buffer): the
+    kernel computes out = C_in + sum_k sum_l (Bi*w_l)^T Bj << 8l for
+    this output tile, keeping the whole group update inside one Mosaic
+    program — no XLA unpack or accumulate programs (their remote
+    compiles are the latency hazard on tunneled TPU rigs)."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = c_ref[:]
+
+    w = w_ref[:]              # (KT, 1) uint32, b-major permuted
+    bi = _unpack_pk(bpi_ref[:])
+    bj = _unpack_pk(bpj_ref[:])
+    acc = jnp.zeros(out_ref.shape, jnp.uint32)
+    for l in range(n_limbs):
+        wl = ((w >> np.uint32(8 * l)) & np.uint32(0xFF)).astype(
+            jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+        part = jax.lax.dot_general(
+            bi * wl, bj,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = acc + (part.astype(jnp.int32).astype(jnp.uint32)
+                     << np.uint32(8 * l))
+    out_ref[:] += acc
+
+
+def gram_u32_pk_tri(Bp, w, C, *, n_limbs: int,
+                    interpret: bool | None = None):
+    """C + Bp^T-packed triangle Gram, everything in one Mosaic program.
+
+    Bp: uint8[P//8, S] bit-packed incidence — bit b of row k is pattern
+    8k + b (see _unpack_pk).  w: uint32[P, 1] pattern weights PERMUTED
+    to b-major block order.  C: uint32[S, S] running accumulator; the
+    output aliases C's buffer (donated).  P % KT == 0, S % TILE == 0.
+    Only tiles with tile_row >= tile_col are updated; strict-upper
+    tiles pass through C's previous contents.
+    """
+    if interpret is None:
+        interpret = not on_tpu()
+    Pb, S = Bp.shape
+    P = Pb * 8
+    nt = S // TILE
+    n_tri = nt * (nt + 1) // 2
+    i_tab, j_tab = tri_tile_tables(nt)
+    KB = KT // 8
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tri, P // KT),
+        in_specs=[
+            pl.BlockSpec((KT, 1), lambda t, k, it, jt: (k, 0)),
+            pl.BlockSpec((KB, TILE), lambda t, k, it, jt: (k, it[t])),
+            pl.BlockSpec((KB, TILE), lambda t, k, it, jt: (k, jt[t])),
+            pl.BlockSpec((TILE, TILE),
+                         lambda t, k, it, jt: (it[t], jt[t])),
+        ],
+        out_specs=pl.BlockSpec((TILE, TILE),
+                               lambda t, k, it, jt: (it[t], jt[t])),
+    )
+    kernel = functools.partial(_gram_pk_tri_kernel, n_limbs=n_limbs)
+    # 32-bit tracing: see gram_u32 (x64 breaks Mosaic grid plumbing)
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((S, S), jnp.uint32),
+            input_output_aliases={5: 0},
+            interpret=interpret,
+        )(jnp.asarray(i_tab), jnp.asarray(j_tab), w, Bp, Bp, C)
+
+
+def pk_weight_order(w: np.ndarray) -> np.ndarray:
+    """Permute pattern weights to the b-major order _unpack_pk emits
+    (w.size % KT == 0)."""
+    return np.ascontiguousarray(
+        w.reshape(-1, KT // 8, 8).transpose(0, 2, 1).reshape(-1))
+
+
+def _pack_tiles_kernel(it_ref, jt_ref, c_ref, out_ref):
+    out_ref[:] = c_ref[:][None]
+
+
+def tril_tiles(C, *, interpret: bool | None = None):
+    """Gather the lower-tile-triangle of C into [n_tri, TILE, TILE].
+
+    The obvious XLA searchsorted+gather pack program hits the remote
+    compiler's slow path (25-380 s observed); this Mosaic copy kernel
+    compiles in ~0.5 s and pulls ~half the bytes of the full matrix.
+    Tile t of the output is C tile (i_tab[t], j_tab[t]) — the same
+    enumeration gram_u32_tri uses; hosts rebuild the symmetric matrix
+    by placing each tile at (i, j) and its transpose at (j, i).
+    """
+    if interpret is None:
+        interpret = not on_tpu()
+    S = C.shape[0]
+    nt = S // TILE
+    n_tri = nt * (nt + 1) // 2
+    i_tab, j_tab = tri_tile_tables(nt)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tri,),
+        in_specs=[
+            pl.BlockSpec((TILE, TILE), lambda t, it, jt: (it[t], jt[t])),
+        ],
+        out_specs=pl.BlockSpec((1, TILE, TILE),
+                               lambda t, it, jt: (t, 0, 0)),
+    )
+    # 32-bit tracing: see gram_u32 (x64 breaks Mosaic grid plumbing)
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            _pack_tiles_kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_tri, TILE, TILE),
+                                           C.dtype),
+            interpret=interpret,
+        )(jnp.asarray(i_tab), jnp.asarray(j_tab), C)
+
+
+@functools.lru_cache(maxsize=None)
+def tri_tile_tables(nt: int):
+    """(i_tab, j_tab) int32 coordinate tables of the lower-tile
+    triangle enumeration shared by gram_u32_tri / gram_u32_pk_tri /
+    tril_tiles."""
+    i_tab = np.repeat(np.arange(nt, dtype=np.int32),
+                      np.arange(1, nt + 1))
+    j_tab = np.concatenate([np.arange(i + 1, dtype=np.int32)
+                            for i in range(nt)])
+    return i_tab, j_tab
+
+
+def untile_symmetric(tiles: np.ndarray, S: int) -> np.ndarray:
+    """Rebuild the full symmetric uint32[S, S] matrix from tril_tiles
+    output (host side)."""
+    n_tri, T, _ = tiles.shape
+    nt = int((np.sqrt(8 * n_tri + 1) - 1) / 2 + 0.5)
+    S_pad = nt * T
+    i_tab, j_tab = tri_tile_tables(nt)
+    C = np.empty((S_pad, S_pad), dtype=tiles.dtype)
+    for t in range(n_tri):
+        i, j = int(i_tab[t]), int(j_tab[t])
+        C[i * T:(i + 1) * T, j * T:(j + 1) * T] = tiles[t]
+        if i != j:
+            # diagonal tiles are computed in full by the Gram kernels
+            # (already symmetric); only off-diagonal tiles mirror
+            C[j * T:(j + 1) * T, i * T:(i + 1) * T] = tiles[t].T
+    return np.ascontiguousarray(C[:S, :S])
+
+
 def _matmul_tile_kernel(h_ref, b_ref, out_ref, *, n_limbs):
     """One (q, s, k) grid step: out[q,s] += sum_l (H_l @ B) << 8l.
 

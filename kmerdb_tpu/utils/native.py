@@ -111,6 +111,9 @@ def _init():
     lib.kmerdb_fill_incidence.restype = None
     lib.kmerdb_fill_incidence.argtypes = [ctypes.c_int64, i32p, i32p,
                                           ctypes.c_int64, i8p]
+    lib.kmerdb_fill_incidence_bits.restype = None
+    lib.kmerdb_fill_incidence_bits.argtypes = [ctypes.c_int64, i64p, i64p,
+                                               u32p, ctypes.c_int64, u8p]
     lib.kmerdb_one2all_probe.restype = ctypes.c_int64
     lib.kmerdb_one2all_probe.argtypes = [ctypes.c_int64, u64p,
                                          ctypes.c_int64, u64p, i32p, i32p]
@@ -492,4 +495,15 @@ def fill_incidence(rows: np.ndarray, cols: np.ndarray,
     _I32P = ctypes.POINTER(ctypes.c_int32)
     _lib.kmerdb_fill_incidence(rows.size, _p(rows, _I32P),
                                _p(cols, _I32P), B.shape[1], _p(B, _I8P))
+
+
+def fill_incidence_bits(pids: np.ndarray, offs: np.ndarray,
+                        sids: np.ndarray, Bp: np.ndarray) -> None:
+    """Pattern-axis bit-packed incidence over a zeroed uint8 block:
+    bit i & 7 of Bp[i >> 3, s] records pattern pids[i] containing
+    sample s, read straight from the pattern CSR (offs int64[P+1],
+    sids uint32).  Matches pallas_gram._unpack_pk's layout."""
+    _lib.kmerdb_fill_incidence_bits(
+        pids.size, _p(pids, _I64P), _p(offs, _I64P), _p(sids, _U32P),
+        Bp.shape[1], _p(Bp, _U8P))
 

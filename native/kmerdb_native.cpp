@@ -576,6 +576,25 @@ void kmerdb_fill_incidence(int64_t n_el, const int32_t* rows,
         out[(int64_t)rows[i] * n_cols + cols[i]] = 1;
 }
 
+// Bit-packed incidence fill straight from the pattern CSR, packed
+// along the PATTERN axis: bit (i & 7) of byte (i >> 3, s) records
+// pattern pids[i] containing sample s.  Packing cuts host->device
+// transfer and host zeroing 8x versus byte incidence; the pattern-axis
+// layout keeps the device's lane dimension at full width (the Pallas
+// kernel unpacks eight sublane rows per byte row, pallas_gram.py
+// _unpack_pk).
+void kmerdb_fill_incidence_bits(int64_t n, const int64_t* pids,
+                                const int64_t* offs, const uint32_t* sids,
+                                int64_t row_stride, uint8_t* out) {
+    for (int64_t i = 0; i < n; ++i) {
+        uint8_t* row = out + (i >> 3) * row_stride;
+        uint8_t bit = (uint8_t)(1u << (i & 7));
+        int64_t p = pids[i];
+        for (int64_t j = offs[p]; j < offs[p + 1]; ++j)
+            row[sids[j]] |= bit;
+    }
+}
+
 // ---------------------------------------------------------------------------
 // Pattern CSR fill
 // ---------------------------------------------------------------------------

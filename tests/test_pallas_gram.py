@@ -119,3 +119,70 @@ def test_gram_tri_matches_full(S, seed):
         jnp.asarray(B), jnp.asarray(w).reshape(-1, 1), n_limbs=3))
     rec = np.tril(tri) + np.tril(tri, -1).T
     np.testing.assert_array_equal(rec, full)
+
+
+@pytest.mark.parametrize("S,rows,wmax,seed", [
+    (100, 2 * pallas_gram.KT, 250, 11),        # light class, ragged S
+    (300, pallas_gram.KT, 16_000_000, 12),     # heavy limbs, 3 tile rows
+])
+def test_packed_gram_pk_tri(S, rows, wmax, seed):
+    """Packed-bit triangle Gram kernel (in-kernel unpack + C
+    accumulation via aliasing) == NumPy oracle, through tril_tiles /
+    untile_symmetric reconstruction."""
+    import jax
+    rng = np.random.default_rng(seed)
+    S_pad = -(-S // pallas_gram.TILE) * pallas_gram.TILE
+    B = np.zeros((rows, S_pad), dtype=np.uint8)
+    B[:, :S] = (rng.random((rows, S)) < 0.2).astype(np.uint8)
+    w = rng.integers(0, wmax, size=rows).astype(np.uint32)
+    n_limbs = max(1, (int(w.max()).bit_length() + 7) // 8)
+
+    expect = ((B.astype(np.uint64).T * w.astype(np.uint64)) @
+              B.astype(np.uint64) & 0xFFFFFFFF).astype(np.uint32)[:S, :S]
+
+    # pattern-axis packing: bit i & 7 of byte row i >> 3
+    Bp = np.zeros((rows // 8, S_pad), dtype=np.uint8)
+    for i in range(rows):
+        Bp[i >> 3] |= B[i] << np.uint8(i & 7)
+    wpk = pallas_gram.pk_weight_order(w).reshape(-1, 1)
+
+    C0 = jnp.zeros((S_pad, S_pad), dtype=jnp.uint32)
+    C = pallas_gram.gram_u32_pk_tri(jnp.asarray(Bp), jnp.asarray(wpk),
+                                    C0, n_limbs=n_limbs)
+    # run twice: C accumulates in place (aliased buffer)
+    C = pallas_gram.gram_u32_pk_tri(jnp.asarray(Bp), jnp.asarray(wpk),
+                                    C, n_limbs=n_limbs)
+    tiles = np.asarray(pallas_gram.tril_tiles(C))
+    got = pallas_gram.untile_symmetric(tiles, S)
+    np.testing.assert_array_equal(got, 2 * expect.astype(np.uint64)
+                                  .astype(np.uint32))
+
+
+def test_all2all_device_packed_matches_host():
+    """device_a2a.all2all_device (packed streaming tier) == host path,
+    covering both limb classes and multiple groups."""
+    import os
+    from kmerdb_tpu.models.database import KmerPatternDb
+    from kmerdb_tpu.models import builder
+    from kmerdb_tpu.ops import intersect, device_a2a
+
+    rng = np.random.default_rng(23)
+    samples = []
+    for i in range(40):
+        small = rng.choice(4000, size=300, replace=False).astype(np.uint64)
+        big = rng.integers(1 << 20, 1 << 36,
+                           size=rng.integers(300, 2000)).astype(np.uint64)
+        samples.append((f"s{i}", np.unique(np.concatenate([small, big]))))
+    db = builder.add_samples(
+        KmerPatternDb(kmer_length=18, fraction=1.0, alphabet_name="nt"),
+        samples)
+
+    host = intersect.all2all_counts(db)
+    os.environ["KMERDB_A2A_GROUP_MB"] = "1"   # force multiple groups
+    try:
+        dev = device_a2a.all2all_device(db)
+    finally:
+        del os.environ["KMERDB_A2A_GROUP_MB"]
+    np.testing.assert_array_equal(dev, host)
+    st = device_a2a.last_stats
+    assert st["light_patterns"] > 0 and st["heavy_patterns"] > 0

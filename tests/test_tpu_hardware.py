@@ -80,6 +80,18 @@ refM = ((H.astype(np.uint64) @ B.astype(np.uint64))
 M = np.asarray(pg.matmul_u32(jnp.asarray(H), Bj, n_limbs=3,
                              interpret=False))
 assert np.array_equal(M, refM), "matmul_u32 mismatch"
+# packed flagship: in-kernel bit unpack + aliased C accumulation +
+# Mosaic tile pull
+Bp = np.zeros((P // 8, S), dtype=np.uint8)
+for i in range(P):
+    Bp[i >> 3] |= (B[i] << np.uint8(i & 7)).astype(np.uint8)
+wpk = pg.pk_weight_order(w.ravel()).reshape(-1, 1)
+C0 = jnp.zeros((S, S), dtype=jnp.uint32)
+Cpk = pg.gram_u32_pk_tri(jnp.asarray(Bp), jnp.asarray(wpk), C0,
+                         n_limbs=3, interpret=False)
+tiles = np.asarray(pg.tril_tiles(Cpk, interpret=False))
+got = pg.untile_symmetric(tiles, S)
+assert np.array_equal(got, ref), "gram_u32_pk_tri mismatch"
 print("HW_KERNELS_OK")
 """)
     assert "HW_KERNELS_OK" in out
