@@ -125,11 +125,20 @@ def _matrix_filter(p, db, query_counts=None):
 
 
 def run_all2all(p):
+    import os
     import time
     from ..utils import log
     if len(p.files) != 2:
         raise UsageError(p.mode)
     db_filename, out_filename = p.files
+    # big database -> the device tier is likely; start absorbing the
+    # compile service's init on a background thread while the db loads
+    try:
+        if os.path.getsize(db_filename) > (64 << 20):
+            from ..ops.device_a2a import warmup_async
+            warmup_async()
+    except OSError:
+        pass
     t0 = time.perf_counter()
     db = dbfile.load_db(db_filename, dbfile.PATTERNS)
     t1 = time.perf_counter()

@@ -47,7 +47,11 @@ _COST = {
     "push_Bps":  float(os.environ.get("KMERDB_COST_PUSH_BPS",  1.0e9)),
     "pull_Bps":  float(os.environ.get("KMERDB_COST_PULL_BPS",  1.0e7)),
     "dev_flops": float(os.environ.get("KMERDB_COST_DEV_FLOPS", 1.5e13)),
-    "host_rate": float(os.environ.get("KMERDB_COST_HOST_RATE", 3.5e10)),
+    "host_rate": float(os.environ.get("KMERDB_COST_HOST_RATE", 2.0e10)),
+    # the scatter kernel drops ~10x once C spills L2/L3 (measured
+    # 2.0e9 adds/s at S=2048 vs ~2e10 cache-resident)
+    "host_rate_big": float(os.environ.get("KMERDB_COST_HOST_RATE_BIG",
+                                          2.0e9)),
     "fixed_s":   float(os.environ.get("KMERDB_COST_DEV_FIXED_S", 8.0)),
     "fill_Bps":  float(os.environ.get("KMERDB_COST_FILL_BPS",  2.0e9)),
 }
@@ -136,7 +140,9 @@ def device_cost_s(db: KmerPatternDb) -> float:
 def host_cost_s(db: KmerPatternDb) -> float:
     """Predicted wall seconds of the host C++ scatter kernel."""
     lens = np.diff(db.pattern_offsets)
-    return float(np.dot(lens, lens)) / _COST["host_rate"]
+    rate = (_COST["host_rate"] if db.n_samples <= 1024
+            else _COST["host_rate_big"])
+    return float(np.dot(lens, lens)) / rate
 
 
 @functools.lru_cache(maxsize=None)
@@ -184,8 +190,38 @@ def all2all_device(db: KmerPatternDb) -> np.ndarray:
     group_rows = min(group_rows,
                      _round_up(max(light.size, heavy.size, 1), KT))
 
+    # group plan: (pattern ids, limb count, padded rows); partial
+    # groups pad to KT, full-size groups share one compiled shape
+    groups = []
+    for pids, n_limbs in ((light, 1), (heavy, heavy_limbs)):
+        for g0 in range(0, pids.size, group_rows):
+            gp = pids[g0:g0 + group_rows]
+            groups.append((gp, n_limbs, _round_up(gp.size, KT)))
+
+    # Pre-compile EVERY program before touching any big host memory:
+    # each compile spawns a local helper subprocess that dlopens
+    # libtpu, and on this ~30us/page host a cold page cache turns a
+    # 0.5 s compile into minutes — large fills/pushes between compiles
+    # evict exactly those pages.  AOT-compiling the full shape set up
+    # front (small device buffers only) keeps every compile warm.
+    _, jnp = jax_modules()
+    if _warmup_thread is not None:
+        _warmup_thread.join()
+    tc0 = time.perf_counter()
+    execs = {}
+    for _, n_limbs, rows in groups:
+        key = (n_limbs, rows)
+        if key not in execs:
+            execs[key] = _jit_group_step(n_limbs).lower(
+                jax.ShapeDtypeStruct((S_pad, S_pad), jnp.uint32),
+                jax.ShapeDtypeStruct((rows // 8, S_pad), jnp.uint8),
+                jax.ShapeDtypeStruct((rows, 1), jnp.uint32)).compile()
+    pack_exec = jax.jit(pallas_gram.tril_tiles).lower(
+        jax.ShapeDtypeStruct((S_pad, S_pad), jnp.uint32)).compile()
+    t_compile = time.perf_counter() - tc0
+
     # device_put instead of jnp.zeros: a 16 MB push beats compiling a
-    # fill program through the remote service
+    # fill program
     C = jax.device_put(np.zeros((S_pad, S_pad), dtype=np.uint32))
     buf = native.alloc_array(group_rows // 8 * S_pad, np.uint8,
                              populate=False).reshape(group_rows // 8,
@@ -199,35 +235,29 @@ def all2all_device(db: KmerPatternDb) -> np.ndarray:
     flops = 0.0
     nt = S_pad // TILE
     tri_frac = (nt + 1) / (2 * nt)
-    for pids, n_limbs in ((light, 1), (heavy, heavy_limbs)):
-        if pids.size == 0:
-            continue
-        step = _jit_group_step(n_limbs)
-        for g0 in range(0, pids.size, group_rows):
-            gp = pids[g0:g0 + group_rows]
-            rows = _round_up(gp.size, KT)
-            ta = time.perf_counter()
-            buf[:rows // 8] = 0
-            wbuf[:rows] = 0
-            if native.available:
-                native.fill_incidence_bits(gp, offs, sids, buf)
-            else:
-                for i, p in enumerate(gp):
-                    cols = sids[offs[p]:offs[p + 1]]
-                    buf[i >> 3, cols] |= np.uint8(1 << (i & 7))
-            wbuf[:gp.size] = w[gp]
-            tb = time.perf_counter()
-            Bp = jax.device_put(buf[:rows // 8])
-            wg = jax.device_put(
-                pallas_gram.pk_weight_order(wbuf[:rows]).reshape(-1, 1))
-            tc = time.perf_counter()
-            C = step(C, Bp, wg)
-            flops += 2.0 * rows * S_pad * S_pad * tri_frac * n_limbs
-            t_fill += tb - ta
-            t_push += tc - tb
+    for gp, n_limbs, rows in groups:
+        ta = time.perf_counter()
+        buf[:rows // 8] = 0
+        wbuf[:rows] = 0
+        if native.available:
+            native.fill_incidence_bits(gp, offs, sids, buf)
+        else:
+            for i, p in enumerate(gp):
+                cols = sids[offs[p]:offs[p + 1]]
+                buf[i >> 3, cols] |= np.uint8(1 << (i & 7))
+        wbuf[:gp.size] = w[gp]
+        tb = time.perf_counter()
+        Bp = jax.device_put(buf[:rows // 8])
+        wg = jax.device_put(
+            pallas_gram.pk_weight_order(wbuf[:rows]).reshape(-1, 1))
+        tc = time.perf_counter()
+        C = execs[(n_limbs, rows)](C, Bp, wg)
+        flops += 2.0 * rows * S_pad * S_pad * tri_frac * n_limbs
+        t_fill += tb - ta
+        t_push += tc - tb
 
     t1 = time.perf_counter()
-    tiles = np.asarray(pallas_gram.tril_tiles(C))
+    tiles = np.asarray(pack_exec(C))
     t2 = time.perf_counter()
     out = pallas_gram.untile_symmetric(tiles, S)
     t3 = time.perf_counter()
@@ -236,7 +266,7 @@ def all2all_device(db: KmerPatternDb) -> np.ndarray:
         "S": S, "S_pad": S_pad, "n_patterns": int(db.n_patterns),
         "light_patterns": int(light.size), "heavy_patterns": int(heavy.size),
         "heavy_limbs": heavy_limbs, "flops": flops,
-        "fill_s": t_fill, "push_s": t_push,
+        "compile_s": t_compile, "fill_s": t_fill, "push_s": t_push,
         "compute_pull_s": t2 - t1, "mirror_s": t3 - t2,
         "total_s": t3 - t0,
     })
