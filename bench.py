@@ -1,12 +1,29 @@
-"""Benchmark: build + all2all on the synthetic pangenome corpus.
+"""Benchmark: build + all2all on two corpora, host and TPU tiers.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "detail": {...}}
 
-value = end-to-end (build + all2all) throughput in k-mer instances/s.
-vs_baseline = speedup over the measured reference wall-clock
-(BASELINE_MEASURED.json: kmer-db 2.3.1 -t 16 on the bench host, same
-corpus).  vs_baseline > 1 means faster than the reference.
+Two sections:
+
+* quick  — 128 x 300 kbp corpus (round-1 continuity): build best-of-3
+  + host all2all; the reference baseline for it is in
+  BASELINE_MEASURED.json ("quick" keys).
+* scale  — 4,096 x 30 kbp outbreak-style phylogenetic corpus
+  (bench_corpus.generate_scale: the ICTV-scale role).  Measures build,
+  the host C++ all2all tier, and the TPU device tier cold (fresh
+  programs) and warm (steady state), with derived pairs/s and MFU.
+
+Headline value = end-to-end (build + device all2all) k-mer instance
+throughput on the scale corpus.  vs_baseline compares against the
+measured reference wall-clock on the same corpus and host.
+
+HONESTY LABELS: the bench host has 1 vCPU, so the reference's
+`-t 16` degrades to ~1 thread — reference numbers carry
+baseline_threads_effective=1, and vs_baseline_16t_projected divides
+the reference time by 16 (its all2all scales near-linearly with
+threads) so the multi-thread bar cannot be misread.
+
+KMERDB_BENCH_SCALE=0 skips the scale section (quick-only mode).
 """
 
 import json
@@ -19,68 +36,147 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 CORPUS_DIR = os.environ.get("KMERDB_BENCH_CORPUS", "/tmp/kmerdb_bench_corpus")
+SCALE_DIR = os.environ.get("KMERDB_BENCH_SCALE_CORPUS",
+                           "/tmp/kmerdb_scale4k")
+V5E_BF16_PEAK = 1.97e14  # FLOP/s, one v5e chip
 
 
-def main():
+def bench_quick(base):
     from kmerdb_tpu.utils.bench_corpus import generate
     from kmerdb_tpu.cli.main import main as cli
 
     list_path = generate(CORPUS_DIR)
-
     with tempfile.TemporaryDirectory() as td:
         db = os.path.join(td, "bench.db")
         out = os.path.join(td, "bench.a2a")
-
-        # build three times, take the best: page-provisioning and disk
-        # writeback speed on the sandboxed bench host fluctuate ~2-3x
-        # run-to-run (measured swings: warm build 5.9-12.4 s on an idle
-        # host), and the first build also pays one-time scratch-arena
-        # provisioning.  (The reference baseline was measured the same
-        # way: isolated runs, best taken.)
+        # best of three: page provisioning and writeback speed swing
+        # 2-3x run-to-run on this host (round-1 measurements)
         build_times = []
         for _ in range(3):
             t0 = time.perf_counter()
             rc = cli(["build", list_path, db])
             build_times.append(time.perf_counter() - t0)
             assert rc == 0, "build failed"
-        t1 = time.perf_counter()
-        # all2all twice: the first run absorbs jit compilation (or the
-        # persistent-cache read) and page provisioning; the second is
-        # the steady-state number this metric tracks.
-        rc = cli(["all2all", db, out])
-        t2 = time.perf_counter()
-        assert rc == 0, "all2all failed"
-        rc = cli(["all2all", db, out])
-        t3 = time.perf_counter()
-        assert rc == 0, "all2all failed"
+        a2a_times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rc = cli(["all2all", db, out])
+            a2a_times.append(time.perf_counter() - t0)
+            assert rc == 0, "all2all failed"
         n_lines = sum(1 for _ in open(out))
+    assert n_lines == base["n_samples"] + 2, "unexpected output shape"
+    return {
+        "build_s": round(min(build_times), 2),
+        "all2all_s": round(min(a2a_times), 2),
+        "build_runs_s": [round(t, 2) for t in build_times],
+        "ref_build_s": base["reference_build_s"],
+        "ref_all2all_s": base["reference_all2all_s"],
+    }
 
-    build_s = min(build_times)
-    a2a_cold_s = t2 - t1
-    a2a_s = min(t2 - t1, t3 - t2)
-    total_s = build_s + a2a_s
 
+def bench_scale(base):
+    import numpy as np
+    from kmerdb_tpu.utils.bench_corpus import generate_scale
+    from kmerdb_tpu.cli.main import main as cli
+    from kmerdb_tpu.io import dbfile
+    from kmerdb_tpu.ops import device_a2a
+    from kmerdb_tpu.utils import native
+
+    list_path = generate_scale(SCALE_DIR, n_samples=4096,
+                               genome_len=30_000, branch_rate=0.0008)
+    db_path = os.path.join(SCALE_DIR, "bench_scale.db")
+    if os.path.exists(db_path):
+        os.unlink(db_path)
+    t0 = time.perf_counter()
+    rc = cli(["build", list_path, db_path])
+    build_s = time.perf_counter() - t0
+    assert rc == 0, "scale build failed"
+
+    db = dbfile.load_db(db_path, dbfile.PATTERNS)
+    S = db.n_samples
+    pairs = S * (S - 1) / 2
+
+    # host tier
+    offs = np.ascontiguousarray(db.pattern_offsets, dtype=np.int64)
+    sids = np.ascontiguousarray(db.pattern_sample_ids, dtype=np.uint32)
+    t0 = time.perf_counter()
+    C_host = native.a2a_dense(offs, sids, db.pattern_num_kmers, S)
+    host_s = time.perf_counter() - t0
+
+    # device tier: cold (fresh programs in this process) then warm
+    t0 = time.perf_counter()
+    C_dev = device_a2a.all2all_device(db)
+    dev_cold_s = time.perf_counter() - t0
+    assert np.array_equal(C_dev, C_host), "device != host at scale"
+    t0 = time.perf_counter()
+    C_dev = device_a2a.all2all_device(db)
+    dev_warm_s = time.perf_counter() - t0
+    st = device_a2a.last_stats
+
+    total_kmers = int(db.sample_kmer_counts.sum())
+    return {
+        "n_samples": S,
+        "n_patterns": int(db.n_patterns),
+        "total_kmer_instances": total_kmers,
+        "build_s": round(build_s, 2),
+        "host_all2all_s": round(host_s, 2),
+        "device_all2all_cold_s": round(dev_cold_s, 2),
+        "device_all2all_warm_s": round(dev_warm_s, 2),
+        "device_vs_host_speedup": round(host_s / dev_warm_s, 2),
+        "pairs_per_s_host": round(pairs / host_s, 1),
+        "pairs_per_s_device_warm": round(pairs / dev_warm_s, 1),
+        "device_gram_flops": st["flops"],
+        "device_tflops_warm": round(st["flops"] / dev_warm_s / 1e12, 2),
+        "device_mfu_warm_pct": round(
+            st["flops"] / dev_warm_s / V5E_BF16_PEAK * 100, 2),
+        "device_phase_s": {k: round(v, 2) for k, v in st.items()
+                           if k.endswith("_s")},
+        "ref_build_s": base.get("scale_reference_build_s"),
+        "ref_all2all_s": base.get("scale_reference_all2all_s"),
+    }
+
+
+def main():
     base_path = pathlib.Path(__file__).parent / "BASELINE_MEASURED.json"
     base = json.loads(base_path.read_text())
-    assert n_lines == base["n_samples"] + 2, "unexpected output shape"
 
-    kmers = base["total_kmer_instances"]
-    result = {
-        "metric": "build+all2all kmer instances/s (128x300kbp corpus, k=18)",
-        "value": round(kmers / total_s, 1),
-        "unit": "kmers/s",
-        "vs_baseline": round(base["reference_total_s"] / total_s, 4),
-        "detail": {
-            "build_runs_s": [round(t, 2) for t in build_times],
-            "build_s": round(build_s, 2),
-            "all2all_s": round(a2a_s, 2),
-            "all2all_cold_s": round(a2a_cold_s, 2),
-            "total_s": round(total_s, 2),
-            "ref_build_s": base["reference_build_s"],
-            "ref_all2all_s": base["reference_all2all_s"],
-        },
+    quick = bench_quick(base)
+    q_total = quick["build_s"] + quick["all2all_s"]
+    q_ref = base["reference_total_s"]
+
+    detail = {
+        "quick": quick,
+        "baseline_threads_effective": 1,
+        "baseline_note": ("reference kmer-db 2.3.1 run with -t 16 on a "
+                          "1-vCPU host (hardware_concurrency=1): "
+                          "effectively single-threaded"),
     }
-    print(json.dumps(result))
+
+    if os.environ.get("KMERDB_BENCH_SCALE", "1") != "0" and \
+            base.get("scale_reference_total_s"):
+        scale = bench_scale(base)
+        detail["scale"] = scale
+        our_total = scale["build_s"] + scale["device_all2all_cold_s"]
+        ref_total = base["scale_reference_total_s"]
+        value = scale["total_kmer_instances"] / our_total
+        vs = ref_total / our_total
+        detail["vs_baseline_16t_projected"] = round(vs / 16, 3)
+        metric = ("build+all2all kmer instances/s "
+                  "(4096x30kbp scale corpus, k=18, device tier)")
+    else:
+        value = base["total_kmer_instances"] / q_total
+        vs = q_ref / q_total
+        detail["vs_baseline_16t_projected"] = round(vs / 16, 3)
+        metric = ("build+all2all kmer instances/s "
+                  "(128x300kbp corpus, k=18)")
+
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 1),
+        "unit": "kmers/s",
+        "vs_baseline": round(vs, 4),
+        "detail": detail,
+    }))
 
 
 if __name__ == "__main__":

@@ -144,17 +144,15 @@ def run_all2all(p):
     t1 = time.perf_counter()
     log.verbose(f"Database loaded in {t1 - t0:.3f}s: "
                 f"{db.n_samples} samples, {db.n_patterns} patterns")
-    C = intersect.all2all_counts(db)
-    t2 = time.perf_counter()
-    log.verbose(f"Similarity matrix computed in {t2 - t1:.3f}s")
 
     with open(out_filename, "w", newline="") as ofs:
         ofs.write(csvio.matrix_header(db.kmer_length, db.fraction,
                                       db.sample_names))
         ofs.write(csvio.totals_row(db.sample_kmer_counts))
         filt = _matrix_filter(p, db) if p.sparse_out else None
-        for i in range(db.n_samples):
-            row = C[i, :i]
+
+        def emit(i, full_row):
+            row = full_row[:i]
             name = db.sample_names[i]
             cnt = int(db.sample_kmer_counts[i])
             if p.sparse_out:
@@ -163,6 +161,31 @@ def run_all2all(p):
                 ofs.write(csvio.sparse_row(name, cnt, row))
             else:
                 ofs.write(csvio.dense_row(name, cnt, row))
+
+        if _stream_rows(db):
+            # large-S memory story: C never fully materializes —
+            # device row stripes stream straight into the CSV writer
+            from ..ops import device_a2a
+            device_a2a.all2all_device_rows(db, emit)
+        else:
+            C = intersect.all2all_counts(db)
+            t2 = time.perf_counter()
+            log.verbose(f"Similarity matrix computed in {t2 - t1:.3f}s")
+            for i in range(db.n_samples):
+                emit(i, C[i])
+
+
+def _stream_rows(db) -> bool:
+    """Route all2all through the striped streaming device tier when
+    the full C matrix would strain host+device memory (default above
+    16k samples on a TPU host; KMERDB_A2A_STREAM=1/0 forces)."""
+    import os
+    env = os.environ.get("KMERDB_A2A_STREAM", "")
+    if env in ("0", "1"):
+        return env == "1"
+    from ..ops.pallas_gram import on_tpu
+    from ..utils import native
+    return native.available and on_tpu() and db.n_samples > 16384
 
 
 def run_all2all_sp(p):

@@ -45,6 +45,13 @@ _PATTERN_REF32 = np.uint32(1) << np.uint32(31)
 _SALT1 = np.uint64(0x9E3779B97F4A7C15)
 _SALT2 = np.uint64(0xC2B2AE3D27D4EB4F)
 
+def _build_device() -> bool:
+    """KMERDB_BUILD_DEVICE=1 routes the per-partition merge + dedup to
+    the TPU (ops/device_build.py), bit-identical to the host path."""
+    import os
+    return os.environ.get("KMERDB_BUILD_DEVICE") == "1"
+
+
 #: target element count per partition (quantile range of k-mer space).
 #: merge_groups buckets internally (cache-sized key ranges), so the
 #: partition's job is to bound peak scratch memory — and with it the
@@ -168,10 +175,7 @@ def add_samples(db: KmerPatternDb,
             cuts[i, -1] = s.size
             cuts[i, 1:-1] = np.searchsorted(s, edges, side="left")
 
-        uk_parts, pid_parts, w_parts = [], [], []
-        offlen_parts, flat_parts = [], []
-        trip_parts = []  # (h1, h2, rawlen) per pattern, for global dedup
-        pid_base = 0
+        parts = _Parts()
         for part in range(edges.size + 1):
             sliced_k, sliced_v, cvals = [], [], []
             for i, s in enumerate(key_streams):
@@ -183,81 +187,117 @@ def add_samples(db: KmerPatternDb,
                 cvals.append(0 if i == 0 else s0 + i - 1)
             if not sliced_k:
                 continue
-            merged_vals, gk, gstart, glen_u, h1, h2 = native.merge_groups(
-                sliced_k, sliced_v, cvals, scratch=True)
-            inverse, first_group = _dedup_groups(glen_u, h1, h2)
-            n_pat = first_group.size
+            if _build_device():
+                from ..ops.device_build import merge_dedup_device
+                merge_out = merge_dedup_device(sliced_k, sliced_v, cvals)
+            else:
+                merged_vals, gk, gstart, glen_u, h1, h2 = \
+                    native.merge_groups(sliced_k, sliced_v, cvals,
+                                        scratch=True)
+                inverse, first_group = _dedup_groups(glen_u, h1, h2)
+                merge_out = (merged_vals, gk, gstart, glen_u, h1, h2,
+                             inverse, first_group)
+            parts.add(merge_out, old_off, old_sids)
 
-            rep_start = np.ascontiguousarray(gstart[first_group])
-            rep_len_u = np.ascontiguousarray(glen_u[first_group])
-            out_len = native.csr_lengths(rep_start, rep_len_u, merged_vals,
-                                         int(_PATTERN_REF32), old_off)
-            p_off = np.zeros(n_pat + 1, dtype=np.int64)
-            np.cumsum(out_len, out=p_off[1:])
-            flat = np.empty(p_off[-1], dtype=np.uint32)
-            native.fill_csr(rep_start, rep_len_u, merged_vals,
-                            int(_PATTERN_REF32), old_off, old_sids,
-                            p_off[:-1].copy(), flat)
+        return _finalize_db(db, names, counts, parts)
 
-            uk_parts.append(gk.copy())
-            pid_parts.append((inverse + pid_base).astype(np.int32))
-            w_parts.append(np.bincount(inverse, minlength=n_pat
-                                       ).astype(np.uint32))
-            offlen_parts.append(out_len)
-            flat_parts.append(flat)
-            trip_parts.append((h1[first_group].copy(),
-                               h2[first_group].copy(),
-                               glen_u[first_group].astype(np.int64)))
-            pid_base += n_pat
-
-        unique_kmers = np.concatenate(uk_parts)
-        kmer_pattern_ids = np.concatenate(pid_parts)
-        pattern_num_kmers = np.concatenate(w_parts)
-        all_len = np.concatenate(offlen_parts)
-        flat = np.concatenate(flat_parts)
-
-        if len(trip_parts) > 1:
-            # Global pattern dedup: a sample-set spanning partitions was
-            # assigned one pattern per partition; unify by the same
-            # (h1, h2, rawlen) content key and merge the weights.
-            H1 = np.concatenate([t[0] for t in trip_parts])
-            H2 = np.concatenate([t[1] for t in trip_parts])
-            LEN = np.concatenate([t[2] for t in trip_parts])
-            inv2, first2 = _dedup_groups(LEN, H1, H2)
-            if first2.size < pid_base:
-                kmer_pattern_ids = inv2[kmer_pattern_ids].astype(np.int32)
-                w = np.zeros(first2.size, dtype=np.uint64)
-                np.add.at(w, inv2, pattern_num_kmers.astype(np.uint64))
-                pattern_num_kmers = w.astype(np.uint32)
-                old_offsets_all = np.zeros(all_len.size + 1, dtype=np.int64)
-                np.cumsum(all_len, out=old_offsets_all[1:])
-                keep_len = all_len[first2]
-                out_off = np.zeros(first2.size + 1, dtype=np.int64)
-                np.cumsum(keep_len, out=out_off[1:])
-                new_flat = np.empty(out_off[-1], dtype=np.uint32)
-                native.gather_ragged_u32(
-                    np.ascontiguousarray(first2),
-                    old_offsets_all, np.ascontiguousarray(flat),
-                    out_off[:-1].copy(), new_flat)
-                flat = new_flat
-                all_len = keep_len
-
-        pattern_offsets = np.zeros(all_len.size + 1, dtype=np.int64)
-        np.cumsum(all_len, out=pattern_offsets[1:])
-        return KmerPatternDb(
-            kmer_length=db.kmer_length, fraction=db.fraction,
-            start_fraction=db.start_fraction, alphabet_name=db.alphabet_name,
-            sample_names=names, sample_kmer_counts=counts,
-            kmers=unique_kmers, kmer_pattern_ids=kmer_pattern_ids,
-            pattern_offsets=pattern_offsets, pattern_sample_ids=flat,
-            pattern_num_kmers=pattern_num_kmers)
-
-    # ------------------------------------------------------------------
     # NumPy fallback (no compiler): single partition, argsort + reduceat
-    # ------------------------------------------------------------------
     streams_v = [_PATTERN_REF + db.kmer_pattern_ids.astype(np.int64)]
     for i, (_, arr) in enumerate(samples):
         streams_v.append(np.full(arr.size, s0 + i, dtype=np.int64))
+    return _numpy_build(db, names, counts, key_streams, streams_v)
+
+
+class _Parts:
+    """Per-partition accumulator shared by add_samples and the
+    k-mer-range-sharded build (parallel/sharded.py)."""
+
+    def __init__(self):
+        self.uk, self.pid, self.w = [], [], []
+        self.offlen, self.flat = [], []
+        self.trip = []  # (h1, h2, rawlen) per pattern, for global dedup
+        self.pid_base = 0
+
+    def add(self, merge_out, old_off, old_sids):
+        (merged_vals, gk, gstart, glen_u, h1, h2,
+         inverse, first_group) = merge_out
+        n_pat = first_group.size
+
+        rep_start = np.ascontiguousarray(gstart[first_group])
+        rep_len_u = np.ascontiguousarray(glen_u[first_group])
+        out_len = native.csr_lengths(rep_start, rep_len_u, merged_vals,
+                                     int(_PATTERN_REF32), old_off)
+        p_off = np.zeros(n_pat + 1, dtype=np.int64)
+        np.cumsum(out_len, out=p_off[1:])
+        flat = np.empty(p_off[-1], dtype=np.uint32)
+        native.fill_csr(rep_start, rep_len_u, merged_vals,
+                        int(_PATTERN_REF32), old_off, old_sids,
+                        p_off[:-1].copy(), flat)
+
+        self.uk.append(gk.copy())
+        self.pid.append((inverse + self.pid_base).astype(np.int32))
+        self.w.append(np.bincount(inverse, minlength=n_pat
+                                  ).astype(np.uint32))
+        self.offlen.append(out_len)
+        self.flat.append(flat)
+        self.trip.append((h1[first_group].copy(),
+                          h2[first_group].copy(),
+                          glen_u[first_group].astype(np.int64)))
+        self.pid_base += n_pat
+
+
+def _finalize_db(db, names, counts, parts: "_Parts") -> KmerPatternDb:
+    uk_parts, pid_parts, w_parts = parts.uk, parts.pid, parts.w
+    offlen_parts, flat_parts = parts.offlen, parts.flat
+    trip_parts, pid_base = parts.trip, parts.pid_base
+    unique_kmers = np.concatenate(uk_parts)
+    kmer_pattern_ids = np.concatenate(pid_parts)
+    pattern_num_kmers = np.concatenate(w_parts)
+    all_len = np.concatenate(offlen_parts)
+    flat = np.concatenate(flat_parts)
+
+    if len(trip_parts) > 1:
+        # Global pattern dedup: a sample-set spanning partitions was
+        # assigned one pattern per partition; unify by the same
+        # (h1, h2, rawlen) content key and merge the weights.
+        H1 = np.concatenate([t[0] for t in trip_parts])
+        H2 = np.concatenate([t[1] for t in trip_parts])
+        LEN = np.concatenate([t[2] for t in trip_parts])
+        inv2, first2 = _dedup_groups(LEN, H1, H2)
+        if first2.size < pid_base:
+            kmer_pattern_ids = inv2[kmer_pattern_ids].astype(np.int32)
+            w = np.zeros(first2.size, dtype=np.uint64)
+            np.add.at(w, inv2, pattern_num_kmers.astype(np.uint64))
+            pattern_num_kmers = w.astype(np.uint32)
+            old_offsets_all = np.zeros(all_len.size + 1, dtype=np.int64)
+            np.cumsum(all_len, out=old_offsets_all[1:])
+            keep_len = all_len[first2]
+            out_off = np.zeros(first2.size + 1, dtype=np.int64)
+            np.cumsum(keep_len, out=out_off[1:])
+            new_flat = np.empty(out_off[-1], dtype=np.uint32)
+            native.gather_ragged_u32(
+                np.ascontiguousarray(first2),
+                old_offsets_all, np.ascontiguousarray(flat),
+                out_off[:-1].copy(), new_flat)
+            flat = new_flat
+            all_len = keep_len
+
+    pattern_offsets = np.zeros(all_len.size + 1, dtype=np.int64)
+    np.cumsum(all_len, out=pattern_offsets[1:])
+    return KmerPatternDb(
+        kmer_length=db.kmer_length, fraction=db.fraction,
+        start_fraction=db.start_fraction, alphabet_name=db.alphabet_name,
+        sample_names=names, sample_kmer_counts=counts,
+        kmers=unique_kmers, kmer_pattern_ids=kmer_pattern_ids,
+        pattern_offsets=pattern_offsets, pattern_sample_ids=flat,
+        pattern_num_kmers=pattern_num_kmers)
+
+def _numpy_build(db, names, counts, key_streams, streams_v):
+    """NumPy fallback (no compiler): single partition, argsort +
+    reduceat."""
+    old_off = np.ascontiguousarray(db.pattern_offsets, dtype=np.int64)
+    if old_off.size < 2:
+        old_off = np.zeros(2, dtype=np.int64)
     all_k = np.concatenate(key_streams)
     all_v = np.concatenate(streams_v)
     order = np.argsort(all_k, kind="stable")

@@ -146,19 +146,160 @@ def host_cost_s(db: KmerPatternDb) -> float:
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_group_step(n_limbs: int):
+def _jit_group_step(n_limbs: int, interpret: bool = False):
     """One group update C' = C + Bp-packed triangle Gram, entirely
     inside the Mosaic kernel (bit unpack + limb matmuls + C
     accumulation) — the only XLA wrapping is the pallas custom call,
     which compiles in ~1-2 s through the remote service where plain
-    XLA programs take minutes."""
+    XLA programs take minutes.  `interpret` is part of the cache key
+    so a backend change (tests patching on_tpu) can't reuse a stale
+    trace."""
     jax, _ = jax_modules()
     from . import pallas_gram
 
     def step(C, Bp, w):
-        return pallas_gram.gram_u32_pk_tri(Bp, w, C, n_limbs=n_limbs)
+        return pallas_gram.gram_u32_pk_tri(Bp, w, C, n_limbs=n_limbs,
+                                           interpret=interpret)
 
     return jax.jit(step, donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_rows_step(n_limbs: int, interpret: bool = False):
+    """One (stripe, group) update of the streamed large-S path:
+    C_stripe' = C_stripe + stripe rows of the packed Gram.  rt0 is a
+    runtime scalar-prefetch arg, so every stripe shares this one
+    compiled program per (n_limbs, shapes)."""
+    jax, _ = jax_modules()
+    from . import pallas_gram
+
+    def step(rt0, C, Bp, w):
+        return pallas_gram.gram_u32_pk_rows(Bp, w, C, rt0,
+                                            n_limbs=n_limbs,
+                                            interpret=interpret)
+
+    return jax.jit(step, donate_argnums=(1,))
+
+
+def all2all_device_rows(db: KmerPatternDb, row_handler,
+                        stripe_rows: int | None = None) -> None:
+    """Streamed large-S device all2all: C is computed in row stripes
+    (device holds ONE stripe, never the full matrix) and each finished
+    global row is handed to row_handler(i, uint32[S]) in order — the
+    large-collection memory story (the reference streams parts rows,
+    src/console_all2all_parts.cpp:294-315; here the stripe loop plays
+    that role on one chip).
+
+    Packed incidence groups are pushed once and stay device-resident
+    when they fit KMERDB_A2A_RESIDENT_MB (default 4096); above that
+    they are re-packed per stripe from the bounded host scratch.
+    """
+    jax, jnp = jax_modules()
+    from . import pallas_gram
+    from ..utils import native
+
+    S = db.n_samples
+    TILE, KT = pallas_gram.TILE, pallas_gram.KT
+    S_pad = _round_up(S, TILE)
+    nt = S_pad // TILE
+
+    offs = np.ascontiguousarray(db.pattern_offsets, dtype=np.int64)
+    sids = np.ascontiguousarray(db.pattern_sample_ids, dtype=np.uint32)
+    w = db.pattern_num_kmers
+    light, heavy, heavy_limbs = _limb_split(w)
+
+    group_bytes = int(os.environ.get("KMERDB_A2A_GROUP_MB", "256")) << 20
+    group_rows = max(KT, (group_bytes * 8 // S_pad) // KT * KT)
+    group_rows = min(group_rows,
+                     _round_up(max(light.size, heavy.size, 1), KT))
+
+    groups = []
+    for pids, n_limbs in ((light, 1), (heavy, heavy_limbs)):
+        for g0 in range(0, pids.size, group_rows):
+            gp = pids[g0:g0 + group_rows]
+            groups.append((gp, n_limbs, _round_up(gp.size, KT)))
+
+    if stripe_rows is None:
+        stripe_rows = max(TILE, ((128 << 20) // (S_pad * 4))
+                          // TILE * TILE)
+    nrt = min(nt, stripe_rows // TILE)
+    stripe_rows = nrt * TILE
+
+    interp = not pallas_gram.on_tpu()
+    tc0 = time.perf_counter()
+    execs = {}
+    for _, n_limbs, rows in groups:
+        key = (n_limbs, rows)
+        if key not in execs:
+            execs[key] = _jit_rows_step(n_limbs, interp).lower(
+                jax.ShapeDtypeStruct((1,), jnp.int32),
+                jax.ShapeDtypeStruct((stripe_rows, S_pad), jnp.uint32),
+                jax.ShapeDtypeStruct((rows // 8, S_pad), jnp.uint8),
+                jax.ShapeDtypeStruct((rows, 1), jnp.uint32)).compile()
+    t_compile = time.perf_counter() - tc0
+
+    buf = native.alloc_array(group_rows // 8 * S_pad, np.uint8,
+                             populate=False).reshape(group_rows // 8,
+                                                     S_pad) \
+        if native.available else np.zeros((group_rows // 8, S_pad),
+                                          np.uint8)
+    wbuf = np.zeros(group_rows, dtype=np.uint32)
+
+    def packed_group(gp, rows, copy=False):
+        buf[:rows // 8] = 0
+        wbuf[:rows] = 0
+        if native.available:
+            native.fill_incidence_bits(gp, offs, sids, buf)
+        else:
+            for i, p in enumerate(gp):
+                cols = sids[offs[p]:offs[p + 1]]
+                buf[i >> 3, cols] |= np.uint8(1 << (i & 7))
+        wbuf[:gp.size] = w[gp]
+        # resident arrays must not alias the reused scratch (the CPU
+        # backend zero-copies numpy views into device buffers)
+        bp = buf[:rows // 8].copy() if copy else buf[:rows // 8]
+        return (jax.device_put(bp),
+                jax.device_put(pallas_gram.pk_weight_order(
+                    wbuf[:rows]).reshape(-1, 1)))
+
+    resident_mb = int(os.environ.get("KMERDB_A2A_RESIDENT_MB", "4096"))
+    total_packed = sum(rows // 8 * S_pad for _, _, rows in groups)
+    resident = total_packed <= (resident_mb << 20)
+    dev_groups = None
+    if resident:
+        dev_groups = [(packed_group(gp, rows, copy=True), n_limbs, rows)
+                      for gp, n_limbs, rows in groups]
+
+    next_row = 0
+    t0 = time.perf_counter()
+    flops = 0.0
+    for rt0 in range(0, nt, nrt):
+        rt0 = min(rt0, nt - nrt)   # last stripe overlaps backwards
+        C = jax.device_put(np.zeros((stripe_rows, S_pad),
+                                    dtype=np.uint32))
+        rt0_arr = np.array([rt0], dtype=np.int32)
+        if resident:
+            it = dev_groups
+        else:
+            it = (((packed_group(gp, rows)), n_limbs, rows)
+                  for gp, n_limbs, rows in groups)
+        for (Bp, wg), n_limbs, rows in it:
+            C = execs[(n_limbs, rows)](rt0_arr, C, Bp, wg)
+            flops += 2.0 * rows * stripe_rows * S_pad * n_limbs
+        stripe = np.asarray(C)
+        base = rt0 * TILE
+        for i in range(max(next_row, base), min(base + stripe_rows, S)):
+            row_handler(i, stripe[i - base, :S])
+        next_row = min(base + stripe_rows, S)
+        if next_row >= S:
+            break
+
+    last_stats.update({
+        "S": S, "S_pad": S_pad, "n_patterns": int(db.n_patterns),
+        "streamed": True, "stripe_rows": stripe_rows,
+        "resident_groups": resident, "flops": flops,
+        "compile_s": t_compile, "total_s": time.perf_counter() - t0,
+    })
 
 
 def all2all_device(db: KmerPatternDb) -> np.ndarray:
@@ -205,18 +346,22 @@ def all2all_device(db: KmerPatternDb) -> np.ndarray:
     # evict exactly those pages.  AOT-compiling the full shape set up
     # front (small device buffers only) keeps every compile warm.
     _, jnp = jax_modules()
+    tj0 = time.perf_counter()
     if _warmup_thread is not None:
         _warmup_thread.join()
+    t_join = time.perf_counter() - tj0
     tc0 = time.perf_counter()
+    interp = not pallas_gram.on_tpu()
     execs = {}
     for _, n_limbs, rows in groups:
         key = (n_limbs, rows)
         if key not in execs:
-            execs[key] = _jit_group_step(n_limbs).lower(
+            execs[key] = _jit_group_step(n_limbs, interp).lower(
                 jax.ShapeDtypeStruct((S_pad, S_pad), jnp.uint32),
                 jax.ShapeDtypeStruct((rows // 8, S_pad), jnp.uint8),
                 jax.ShapeDtypeStruct((rows, 1), jnp.uint32)).compile()
-    pack_exec = jax.jit(pallas_gram.tril_tiles).lower(
+    pack_exec = jax.jit(functools.partial(
+        pallas_gram.tril_tiles, interpret=interp)).lower(
         jax.ShapeDtypeStruct((S_pad, S_pad), jnp.uint32)).compile()
     t_compile = time.perf_counter() - tc0
 
@@ -247,7 +392,11 @@ def all2all_device(db: KmerPatternDb) -> np.ndarray:
                 buf[i >> 3, cols] |= np.uint8(1 << (i & 7))
         wbuf[:gp.size] = w[gp]
         tb = time.perf_counter()
-        Bp = jax.device_put(buf[:rows // 8])
+        # the CPU backend zero-copies numpy views into device buffers;
+        # copy so refilling the scratch can't race the async dispatch
+        # (TPU device_put stages a real transfer — no copy needed)
+        Bp = jax.device_put(buf[:rows // 8].copy() if interp
+                            else buf[:rows // 8])
         wg = jax.device_put(
             pallas_gram.pk_weight_order(wbuf[:rows]).reshape(-1, 1))
         tc = time.perf_counter()
@@ -266,6 +415,7 @@ def all2all_device(db: KmerPatternDb) -> np.ndarray:
         "S": S, "S_pad": S_pad, "n_patterns": int(db.n_patterns),
         "light_patterns": int(light.size), "heavy_patterns": int(heavy.size),
         "heavy_limbs": heavy_limbs, "flops": flops,
+        "warmup_join_s": t_join,
         "compile_s": t_compile, "fill_s": t_fill, "push_s": t_push,
         "compute_pull_s": t2 - t1, "mirror_s": t3 - t2,
         "total_s": t3 - t0,

@@ -1,0 +1,185 @@
+"""Device-side database construction: merge + set-hash dedup as XLA
+segment ops.
+
+Drop-in replacement for the per-partition host pipeline in
+models/builder.py (native.merge_groups + dedup_groups), producing
+bit-identical outputs so the resulting database file is byte-equal to
+a host build:
+
+* stable multiway merge  -> one `lax.sort` over (key, stream_rank,
+  value): ties broken by stream order, exactly the host merge tree's
+  tie-break (old database stream first) — replacing the reference's
+  sequential per-sample hashtable insertion
+  (/root/reference/src/prefix_kmer_db.cpp:244-434) with a batch sort,
+  the canonical TPU formulation.
+* group statistics       -> boundary masks + segment_min/segment_sum;
+  the order-invariant content hashes (h1 = xor, h2 = sum of
+  splitmix64(value)) come from an XOR associative_scan and a wrapping
+  cumsum, differenced at group boundaries.
+* pattern dedup          -> sort groups by (h1, h2, len), cut runs,
+  then rank clusters by first-occurrence group index so pattern ids
+  match the host's first-touch assignment exactly.
+
+Enabled with KMERDB_BUILD_DEVICE=1 (models/builder.py).  On hosts
+whose device link pulls slowly (the tunneled bench rig moves
+device->host at ~10 MB/s) the host C++ path is faster end-to-end —
+the merged value stream must come back to the host for CSR assembly —
+so this tier is off by default; on directly-attached TPU hosts the
+sort/segment work rides the VPU at full HBM bandwidth.  The same
+kernel body is the per-shard stage of the k-mer-range-sharded
+multi-device build (parallel/sharded.py:build_sharded).
+"""
+
+import functools
+
+import numpy as np
+
+from .._jaxinit import jax_modules
+
+_SALT1 = np.uint64(0x9E3779B97F4A7C15)
+_SALT2 = np.uint64(0xC2B2AE3D27D4EB4F)
+#: pad key sorting after every valid k-mer (valid keys are < 2^64 - 1)
+_PAD_KEY = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _mix(z, salt):
+    jax, jnp = jax_modules()
+    z = z + salt
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _merge_dedup_impl(keys, ranks, vals):
+    """Core per-partition kernel; all arrays padded to a static N.
+
+    Returns (merged_vals, newgrp, gkey, gstart, glen, h1, h2, inverse,
+    first_group) — group/pattern arrays live in N-sized slots; the
+    caller slices valid prefixes using the counts it derives from
+    newgrp and first_group.
+    """
+    jax, jnp = jax_modules()
+    N = keys.shape[0]
+    ar = jnp.arange(N, dtype=jnp.int64)
+
+    ks, _, vs = jax.lax.sort((keys, ranks, vals), num_keys=2)
+
+    newgrp = jnp.concatenate([
+        jnp.ones(1, dtype=bool), ks[1:] != ks[:-1]])
+    gid = jnp.cumsum(newgrp.astype(jnp.int64)) - 1
+
+    v64 = vs.astype(jnp.uint64)
+    e1 = _mix(v64, _SALT1)
+    e2 = _mix(v64, _SALT2)
+    cx = jax.lax.associative_scan(jnp.bitwise_xor, e1)
+    cs = jnp.cumsum(e2)
+
+    seg = functools.partial(jax.ops.segment_min, num_segments=N)
+    gstart = seg(ar, gid)
+    gend = jax.ops.segment_max(ar, gid, num_segments=N)
+    glen = jax.ops.segment_sum(jnp.ones(N, jnp.int64), gid,
+                               num_segments=N)
+    start_c = jnp.clip(gstart, 0, N - 1)
+    end_c = jnp.clip(gend, 0, N - 1)
+    gkey = ks[start_c]
+    h1 = cx[end_c] ^ jnp.where(start_c > 0, cx[start_c - 1],
+                               jnp.uint64(0))
+    h2 = cs[end_c] - jnp.where(start_c > 0, cs[start_c - 1],
+                               jnp.uint64(0))
+    # empty (padding) group slots: neutral triples that can never
+    # match a real group (glen >= 1)
+    empty = glen == 0
+    h1 = jnp.where(empty, jnp.uint64(0), h1)
+    h2 = jnp.where(empty, jnp.uint64(0), h2)
+
+    # ---- pattern dedup: cluster identical (h1, h2, glen) triples,
+    # then rank clusters by first-occurrence group index (= the host's
+    # first-touch id order).  Empty slots cluster together (glen 0)
+    # and rank last because their first group index is maximal.
+    gi = jnp.arange(N, dtype=jnp.int64)
+    h1s, h2s, lens_s, gis = jax.lax.sort((h1, h2, glen, gi), num_keys=3)
+    newpat = jnp.concatenate([
+        jnp.ones(1, dtype=bool),
+        (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+        | (lens_s[1:] != lens_s[:-1])])
+    cl = jnp.cumsum(newpat.astype(jnp.int64)) - 1
+    # stable sort keeps gis ascending within a cluster
+    first_g = jax.ops.segment_min(gis, cl, num_segments=N)
+    # rank clusters by first_g ascending -> final pattern ids
+    fg_sorted, cl_perm = jax.lax.sort(
+        (first_g, jnp.arange(N, dtype=jnp.int64)), num_keys=1)
+    pat_id = jnp.zeros(N, dtype=jnp.int64).at[cl_perm].set(
+        jnp.arange(N, dtype=jnp.int64))
+    inv_sorted = pat_id[cl]                    # per sorted-group slot
+    inverse = jnp.zeros(N, dtype=jnp.int64).at[gis].set(inv_sorted)
+    first_group = fg_sorted                    # slot p -> group index
+
+    return vs, newgrp, gkey, gstart, glen, h1, h2, inverse, first_group
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_merge_dedup():
+    jax, _ = jax_modules()
+    return jax.jit(_merge_dedup_impl)
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(10, (n - 1).bit_length())
+
+
+def pack_streams(sliced_k, sliced_v, cvals, N,
+                 keys=None, ranks=None, vals=None):
+    """Concatenate value-annotated key streams into padded flat arrays
+    (pad key sorts last).  Returns (keys, ranks, vals, n_valid)."""
+    n_valid = int(sum(s.size for s in sliced_k))
+    if keys is None:
+        keys = np.full(N, _PAD_KEY, dtype=np.uint64)
+        ranks = np.full(N, len(sliced_k), dtype=np.int32)
+        vals = np.zeros(N, dtype=np.uint32)
+    o = 0
+    for i, s in enumerate(sliced_k):
+        keys[o:o + s.size] = s
+        ranks[o:o + s.size] = i
+        if sliced_v[i] is not None:
+            vals[o:o + s.size] = sliced_v[i]
+        else:
+            vals[o:o + s.size] = cvals[i]
+        o += s.size
+    return keys, ranks, vals, n_valid
+
+
+def slice_valid(out, n_valid):
+    """Slice the N-slot kernel outputs down to the real prefix:
+    (merged_vals, group_keys, gstart, glen, h1, h2, inverse,
+    first_group), identical to the native path's arrays."""
+    (vs, newgrp, gkey, gstart, glen, h1, h2,
+     inverse, first_group) = (np.asarray(a) for a in out)
+    n_groups = int(newgrp[:n_valid].sum())
+    n_pat = int((first_group[:n_groups] < n_groups).sum()) \
+        if n_groups else 0
+    # empty-slot cluster ranks after every real pattern, so the first
+    # n_pat slots of first_group are exactly the real patterns
+    return (vs[:n_valid].copy(),
+            gkey[:n_groups].copy(),
+            gstart[:n_groups].astype(np.int64),
+            glen[:n_groups].astype(np.uint64),
+            h1[:n_groups].copy(), h2[:n_groups].copy(),
+            inverse[:n_groups].astype(np.int64),
+            first_group[:n_pat].astype(np.int64))
+
+
+def merge_dedup_device(sliced_k, sliced_v, cvals):
+    """Device twin of native.merge_groups + dedup_groups for one
+    partition.  sliced_k: list of sorted uint64 key streams;
+    sliced_v[i]: uint32 value stream or None; cvals[i]: constant value
+    used when sliced_v[i] is None.  Returns
+    (merged_vals, group_keys, gstart, glen, h1, h2, inverse,
+    first_group) as host arrays identical to the native path's.
+    """
+    jax, jnp = jax_modules()
+    n_valid = int(sum(s.size for s in sliced_k))
+    N = _next_pow2(max(n_valid, 1))
+    keys, ranks, vals, _ = pack_streams(sliced_k, sliced_v, cvals, N)
+    out = _jit_merge_dedup()(jnp.asarray(keys), jnp.asarray(ranks),
+                             jnp.asarray(vals))
+    return slice_valid(out, n_valid)

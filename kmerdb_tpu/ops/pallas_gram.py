@@ -187,26 +187,8 @@ def _gram_pk_tri_kernel(it_ref, jt_ref, w_ref, bpi_ref, bpj_ref, c_ref,
     this output tile, keeping the whole group update inside one Mosaic
     program — no XLA unpack or accumulate programs (their remote
     compiles are the latency hazard on tunneled TPU rigs)."""
-    k = pl.program_id(1)
-
-    @pl.when(k == 0)
-    def _():
-        out_ref[:] = c_ref[:]
-
-    w = w_ref[:]              # (KT, 1) uint32, b-major permuted
-    bi = _unpack_pk(bpi_ref[:])
-    bj = _unpack_pk(bpj_ref[:])
-    acc = jnp.zeros(out_ref.shape, jnp.uint32)
-    for l in range(n_limbs):
-        wl = ((w >> np.uint32(8 * l)) & np.uint32(0xFF)).astype(
-            jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
-        part = jax.lax.dot_general(
-            bi * wl, bj,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        acc = acc + (part.astype(jnp.int32).astype(jnp.uint32)
-                     << np.uint32(8 * l))
-    out_ref[:] += acc
+    _gram_pk_body(pl.program_id(1), w_ref, bpi_ref, bpj_ref, c_ref,
+                  out_ref, n_limbs)
 
 
 def gram_u32_pk_tri(Bp, w, C, *, n_limbs: int,
@@ -258,6 +240,83 @@ def pk_weight_order(w: np.ndarray) -> np.ndarray:
     (w.size % KT == 0)."""
     return np.ascontiguousarray(
         w.reshape(-1, KT // 8, 8).transpose(0, 2, 1).reshape(-1))
+
+
+def _gram_pk_rect_kernel(rt0_ref, w_ref, bpi_ref, bpj_ref, c_ref,
+                         out_ref, *, n_limbs):
+    """One (i, j, k) step of the row-stripe rectangle grid: the output
+    stripe covers global row tiles [rt0, rt0 + nrt); rt0 arrives as a
+    scalar-prefetch arg so every stripe of equal geometry shares ONE
+    compiled program (compiles are the scarce resource on tunneled
+    rigs)."""
+    _gram_pk_body(pl.program_id(2), w_ref, bpi_ref, bpj_ref, c_ref,
+                  out_ref, n_limbs)
+
+
+def _gram_pk_body(k, w_ref, bpi_ref, bpj_ref, c_ref, out_ref, n_limbs):
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = c_ref[:]
+
+    w = w_ref[:]
+    bi = _unpack_pk(bpi_ref[:])
+    bj = _unpack_pk(bpj_ref[:])
+    acc = jnp.zeros(out_ref.shape, jnp.uint32)
+    for l in range(n_limbs):
+        wl = ((w >> np.uint32(8 * l)) & np.uint32(0xFF)).astype(
+            jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+        part = jax.lax.dot_general(
+            bi * wl, bj,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = acc + (part.astype(jnp.int32).astype(jnp.uint32)
+                     << np.uint32(8 * l))
+    out_ref[:] += acc
+
+
+def gram_u32_pk_rows(Bp, w, C_stripe, rt0: int, *, n_limbs: int,
+                     interpret: bool | None = None):
+    """Row-stripe of the packed Gram: C_stripe + (B^T diag(w) B)[R, :]
+    where R covers global row tiles [rt0, rt0 + nrt) — the large-S
+    output tiling (stream stripes to the CSV writer; C never fully
+    materializes on device).  Bp/w as in gram_u32_pk_tri; C_stripe:
+    uint32[nrt*TILE, S] aliased to the output.  Computes the full
+    rectangle (including j > i cells, discarded by the caller): ~2x
+    the triangle FLOPs buys one shared compiled program for every
+    stripe, which wins whenever compiles cost seconds and the MXU has
+    headroom."""
+    if interpret is None:
+        interpret = not on_tpu()
+    Pb, S = Bp.shape
+    P = Pb * 8
+    R, _ = C_stripe.shape
+    nrt = R // TILE
+    nct = S // TILE
+    KB = KT // 8
+    rt0_arr = (np.array([rt0], dtype=np.int32)
+               if isinstance(rt0, int) else rt0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nrt, nct, P // KT),
+        in_specs=[
+            pl.BlockSpec((KT, 1), lambda i, j, k, rt0: (k, 0)),
+            pl.BlockSpec((KB, TILE), lambda i, j, k, rt0: (k, rt0[0] + i)),
+            pl.BlockSpec((KB, TILE), lambda i, j, k, rt0: (k, j)),
+            pl.BlockSpec((TILE, TILE), lambda i, j, k, rt0: (i, j)),
+        ],
+        out_specs=pl.BlockSpec((TILE, TILE),
+                               lambda i, j, k, rt0: (i, j)),
+    )
+    kernel = functools.partial(_gram_pk_rect_kernel, n_limbs=n_limbs)
+    # 32-bit tracing: see gram_u32 (x64 breaks Mosaic grid plumbing)
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((R, S), jnp.uint32),
+            input_output_aliases={4: 0},
+            interpret=interpret,
+        )(jnp.asarray(rt0_arr), w, Bp, Bp, C_stripe)
 
 
 def _pack_tiles_kernel(it_ref, jt_ref, c_ref, out_ref):

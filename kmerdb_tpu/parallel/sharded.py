@@ -261,3 +261,100 @@ def all2all_counts_sharded(db: KmerPatternDb, mesh: Mesh) -> np.ndarray:
     C = _a2a_sharded(jnp.asarray(B_all), jnp.asarray(w_all), mesh=mesh,
                      n_limbs=n_limbs)
     return np.asarray(C)
+
+
+# ---------------------------------------------------------------------------
+# K-mer-range-sharded database build
+# ---------------------------------------------------------------------------
+
+def build_sharded(db: KmerPatternDb, samples, mesh: Mesh) -> KmerPatternDb:
+    """Multi-device database build sharded by k-mer range.
+
+    The key space is cut at quantile edges into one range per device;
+    every device runs the merge + set-hash dedup kernel
+    (ops/device_build._merge_dedup_impl) on its range via shard_map,
+    and the host assembles the per-range outputs in range order —
+    exactly the partition pipeline of models/builder.add_samples, so
+    the result is bit-identical to a single-host build with the same
+    partition count.  This is the prefix-range shard axis the
+    reference scales builds with (SURVEY §7.2 step 3; reference write
+    path src/prefix_kmer_db.cpp:244-434).
+    """
+    from ..models import builder
+    from ..ops import device_build
+
+    D = int(mesh.devices.size)
+    s0 = db.n_samples
+    names = list(db.sample_names) + [name for name, _ in samples]
+    counts = np.concatenate([
+        db.sample_kmer_counts,
+        np.array([arr.size for _, arr in samples], dtype=np.uint32),
+    ])
+    total = db.n_kmers + int(sum(arr.size for _, arr in samples))
+    if total == 0:
+        return KmerPatternDb(
+            kmer_length=db.kmer_length, fraction=db.fraction,
+            start_fraction=db.start_fraction,
+            alphabet_name=db.alphabet_name,
+            sample_names=names, sample_kmer_counts=counts)
+
+    key_streams = [db.kmers] + [arr for _, arr in samples]
+    old_off = np.ascontiguousarray(db.pattern_offsets, dtype=np.int64)
+    if old_off.size < 2:
+        old_off = np.zeros(2, dtype=np.int64)
+    old_sids = np.ascontiguousarray(db.pattern_sample_ids,
+                                    dtype=np.uint32)
+    old_vals = (builder._PATTERN_REF32
+                | db.kmer_pattern_ids.astype(np.uint32))
+
+    edges = builder._partition_edges(key_streams, D)
+    cuts = np.empty((len(key_streams), edges.size + 2), dtype=np.int64)
+    for i, s in enumerate(key_streams):
+        cuts[i, 0] = 0
+        cuts[i, -1] = s.size
+        cuts[i, 1:-1] = np.searchsorted(s, edges, side="left")
+
+    # pack every range into a common [D, N_pad] layout (empty ranges
+    # pad with the sentinel key and produce zero groups)
+    ranges = []
+    for part in range(edges.size + 1):
+        sliced_k, sliced_v, cvals = [], [], []
+        for i, s in enumerate(key_streams):
+            lo, hi = int(cuts[i, part]), int(cuts[i, part + 1])
+            if hi <= lo:
+                continue
+            sliced_k.append(s[lo:hi])
+            sliced_v.append(old_vals[lo:hi] if i == 0 else None)
+            cvals.append(0 if i == 0 else s0 + i - 1)
+        ranges.append((sliced_k, sliced_v, cvals))
+    while len(ranges) < D:
+        ranges.append(([], [], []))
+
+    N_pad = device_build._next_pow2(max(
+        max((sum(s.size for s in r[0]) for r in ranges), default=1), 1))
+    keys = np.full((D, N_pad), device_build._PAD_KEY, dtype=np.uint64)
+    ranks = np.full((D, N_pad), len(key_streams), dtype=np.int32)
+    vals = np.zeros((D, N_pad), dtype=np.uint32)
+    n_valid = []
+    for d, (sk, sv, cv) in enumerate(ranges):
+        _, _, _, nv = device_build.pack_streams(
+            sk, sv, cv, N_pad, keys[d], ranks[d], vals[d])
+        n_valid.append(nv)
+
+    def body(k, r, v):
+        return device_build._merge_dedup_impl(k[0], r[0], v[0])
+
+    fn = shard_map(
+        lambda k, r, v: tuple(a[None] for a in body(k, r, v)),
+        mesh=mesh, in_specs=(P("shard"), P("shard"), P("shard")),
+        out_specs=P("shard"))
+    outs = fn(jnp.asarray(keys), jnp.asarray(ranks), jnp.asarray(vals))
+
+    parts = builder._Parts()
+    for d in range(D):
+        if n_valid[d] == 0:
+            continue
+        merge_out = device_build.slice_valid(
+            tuple(np.asarray(o[d]) for o in outs), n_valid[d])
+        parts.add(merge_out, old_off, old_sids)
+    return builder._finalize_db(db, names, counts, parts)
