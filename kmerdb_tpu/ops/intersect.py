@@ -76,25 +76,6 @@ def _cross_chunk(C, U_i8, V_i8, w_full, n_limbs):
     return C
 
 
-@functools.lru_cache(maxsize=None)
-def _jit_d2d():
-    jax, _ = jax_modules()
-    return functools.partial(jax.jit, static_argnames=("n_limbs",))(
-        _d2d_scan_impl)
-
-
-def _d2d_scan_impl(U_all, V_all, w_all, *, n_limbs):
-    jax, jnp = jax_modules()
-    C0 = jnp.zeros((U_all.shape[2], V_all.shape[2]), dtype=jnp.uint32)
-
-    def step(C, chunk):
-        U, V, w = chunk
-        return _cross_chunk(C, U, V, w, n_limbs), None
-
-    C, _ = jax.lax.scan(step, C0, (U_all, V_all, w_all))
-    return C
-
-
 def _gathered_incidence(pids, offs, sids, n_chunks, P_pad, S_pad):
     """int8[n_chunks, P_pad, S_pad]: row i of chunk c is the sample
     incidence of pattern pids[c * P_pad + i] (host-built)."""
@@ -116,37 +97,74 @@ def _gathered_incidence(pids, offs, sids, n_chunks, P_pad, S_pad):
     return B
 
 
-def _d2d_device(db_row, db_col, up1, up2, cnts):
-    """Device tier of db2db: pattern-pair chunks contracted on the MXU."""
+@functools.lru_cache(maxsize=None)
+def _jit_cross_acc(n_limbs: int, interpret: bool):
+    jax, _ = jax_modules()
     from . import pallas_gram
-    S1, S2 = db_row.n_samples, db_col.n_samples
-    n_pairs = up1.size
-    P_pad = min(_CHUNK, max(1024, n_pairs))
-    P_pad = -(-P_pad // pallas_gram.TILE) * pallas_gram.TILE
-    n_chunks = -(-n_pairs // P_pad)
-    pad_pairs = n_chunks * P_pad
-    S1_pad = _round_up(S1, pallas_gram.TILE)
-    S2_pad = _round_up(S2, pallas_gram.TILE)
 
-    up1_p = np.zeros(pad_pairs, dtype=np.int64)
-    up2_p = np.zeros(pad_pairs, dtype=np.int64)
-    w_all = np.zeros((n_chunks, P_pad), dtype=np.uint32)
-    up1_p[:n_pairs] = up1
-    up2_p[:n_pairs] = up2
-    w_all.reshape(-1)[:n_pairs] = cnts
-    # pad rows point at pattern 0 but carry weight 0 -> no contribution
+    def step(Up, Vp, w, C):
+        return pallas_gram.cross_u32_pk(Up, Vp, w, C, n_limbs=n_limbs,
+                                        interpret=interpret)
+
+    return jax.jit(step, donate_argnums=(3,))
+
+
+def _d2d_device(db_row, db_col, up1, up2, cnts):
+    """Device tier of db2db: pattern-pair chunks contracted on the MXU
+    through the packed Mosaic cross kernel (cross_u32_pk) — bit-packed
+    pair-axis incidence filled straight from both CSRs, C accumulated
+    on device, one pull.  Mosaic-only for the same compile-latency
+    reasons as the all2all tier (ops/device_a2a module doc)."""
+    import jax
+    from . import pallas_gram
+    from ..utils import native
+    jax, jnp = jax_modules()
+    TILE, KT = pallas_gram.TILE, pallas_gram.KT
+    S1, S2 = db_row.n_samples, db_col.n_samples
+    S1_pad = _round_up(S1, TILE)
+    S2_pad = _round_up(S2, TILE)
+    n_pairs = up1.size
+    rows = min(_round_up(max(n_pairs, 1), KT), 8 * _CHUNK)
+    n_limbs = max(1, (int(cnts.max()).bit_length() + 7) // 8)
+
+    interp = not pallas_gram.on_tpu()
+    ex = _jit_cross_acc(n_limbs, interp).lower(
+        jax.ShapeDtypeStruct((rows // 8, S1_pad), jnp.uint8),
+        jax.ShapeDtypeStruct((rows // 8, S2_pad), jnp.uint8),
+        jax.ShapeDtypeStruct((rows, 1), jnp.uint32),
+        jax.ShapeDtypeStruct((S1_pad, S2_pad), jnp.uint32)).compile()
+
     o1 = np.ascontiguousarray(db_row.pattern_offsets, dtype=np.int64)
     s1 = np.ascontiguousarray(db_row.pattern_sample_ids, dtype=np.uint32)
     o2 = np.ascontiguousarray(db_col.pattern_offsets, dtype=np.int64)
     s2 = np.ascontiguousarray(db_col.pattern_sample_ids, dtype=np.uint32)
-    U_all = _gathered_incidence(up1_p, o1, s1, n_chunks, P_pad, S1_pad)
-    V_all = _gathered_incidence(up2_p, o2, s2, n_chunks, P_pad, S2_pad)
 
-    n_limbs = max(1, (int(cnts.max()).bit_length() + 7) // 8)
-    _, jnp = jax_modules()
-    C = np.asarray(_jit_d2d()(jnp.asarray(U_all), jnp.asarray(V_all),
-                              jnp.asarray(w_all), n_limbs=n_limbs))
-    return C[:S1, :S2]
+    Ubuf = np.zeros((rows // 8, S1_pad), dtype=np.uint8)
+    Vbuf = np.zeros((rows // 8, S2_pad), dtype=np.uint8)
+    wbuf = np.zeros(rows, dtype=np.uint32)
+    C = jax.device_put(np.zeros((S1_pad, S2_pad), dtype=np.uint32))
+    for g0 in range(0, n_pairs, rows):
+        g1 = min(n_pairs, g0 + rows)
+        Ubuf[:] = 0
+        Vbuf[:] = 0
+        wbuf[:] = 0
+        p1c = np.ascontiguousarray(up1[g0:g1])
+        p2c = np.ascontiguousarray(up2[g0:g1])
+        if native.available:
+            native.fill_incidence_bits(p1c, o1, s1, Ubuf)
+            native.fill_incidence_bits(p2c, o2, s2, Vbuf)
+        else:
+            for i in range(g1 - g0):
+                Ubuf[i >> 3, s1[o1[p1c[i]]:o1[p1c[i] + 1]]] |= \
+                    np.uint8(1 << (i & 7))
+                Vbuf[i >> 3, s2[o2[p2c[i]]:o2[p2c[i] + 1]]] |= \
+                    np.uint8(1 << (i & 7))
+        wbuf[:g1 - g0] = cnts[g0:g1]
+        C = ex(jax.device_put(Ubuf.copy() if interp else Ubuf),
+               jax.device_put(Vbuf.copy() if interp else Vbuf),
+               jax.device_put(pallas_gram.pk_weight_order(
+                   wbuf).reshape(-1, 1)), C)
+    return np.asarray(C)[:S1, :S2]
 
 
 def _run_length_counts(sorted_arr: np.ndarray):
@@ -436,23 +454,52 @@ def many2all_counts(db: KmerPatternDb, queries: list[np.ndarray],
     if not use_device or db.n_patterns == 0 or not native.available:
         return np.stack([one2all_counts(db, q) for q in queries])
 
-    from .pallas_gram import on_tpu
     H_all, B_all, n_limbs = m2a_prepare(db, queries)
-    _, jnp = jax_modules()
-    args = (jnp.asarray(H_all), jnp.asarray(B_all))
-    # see all2all_counts: XLA is the default device tier; Pallas is
-    # opt-in for directly-attached TPUs
-    if on_tpu() and os.environ.get("KMERDB_A2A_PALLAS") == "1":
+    # Mosaic-first chunk loop (no XLA dot programs on the hot path —
+    # see ops/device_a2a module doc); KMERDB_A2A_PALLAS=0 selects the
+    # legacy XLA limb scan for warm-process setups
+    if os.environ.get("KMERDB_A2A_PALLAS") != "0":
         from ..utils import log
         try:
-            C = np.asarray(_m2a_scan(*args, n_limbs=n_limbs,
-                                     use_pallas=True))
-            return C[:Q, :S]
+            return _m2a_device_mosaic(H_all, B_all, n_limbs)[:Q, :S]
         except Exception as e:
-            log.normal(f"WARNING: pallas new2all tier failed, "
+            log.normal(f"WARNING: mosaic new2all tier failed, "
                        f"falling back: {e}")
+    _, jnp = jax_modules()
+    args = (jnp.asarray(H_all), jnp.asarray(B_all))
     C = np.asarray(_m2a_scan(*args, n_limbs=n_limbs, use_pallas=False))
     return C[:Q, :S]
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_m2a_acc(n_limbs: int, interpret: bool):
+    jax, _ = jax_modules()
+    from . import pallas_gram
+
+    def step(H, B, C):
+        return pallas_gram.matmul_u32_acc(H, B, C, n_limbs=n_limbs,
+                                          interpret=interpret)
+
+    return jax.jit(step, donate_argnums=(2,))
+
+
+def _m2a_device_mosaic(H_all, B_all, n_limbs):
+    """sims = H @ B accumulated chunk-by-chunk through the aliased
+    Mosaic kernel; C stays on device and is pulled once."""
+    import jax
+    from . import pallas_gram
+    jax, jnp = jax_modules()
+    n_chunks, Q_pad, P_pad = H_all.shape
+    S_pad = B_all.shape[2]
+    interp = not pallas_gram.on_tpu()
+    ex = _jit_m2a_acc(n_limbs, interp).lower(
+        jax.ShapeDtypeStruct((Q_pad, P_pad), jnp.uint32),
+        jax.ShapeDtypeStruct((P_pad, S_pad), jnp.int8),
+        jax.ShapeDtypeStruct((Q_pad, S_pad), jnp.uint32)).compile()
+    C = jax.device_put(np.zeros((Q_pad, S_pad), dtype=np.uint32))
+    for c in range(n_chunks):
+        C = ex(jax.device_put(H_all[c]), jax.device_put(B_all[c]), C)
+    return np.asarray(C)
 
 
 def m2a_prepare(db: KmerPatternDb, queries: list[np.ndarray],

@@ -448,6 +448,109 @@ def matmul_u32(H, B, *, n_limbs: int, interpret: bool | None = None):
         )(H, B)
 
 
+def _matmul_acc_kernel(h_ref, b_ref, c_ref, out_ref, *, n_limbs):
+    """(q, s, k) step of the accumulating query contraction:
+    out = C_in + sum_k sum_l (H_l @ B) << 8l, C aliased to out."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = c_ref[:]
+
+    h = h_ref[:]              # (TILE, KT) uint32
+    b = b_ref[:].astype(jnp.float32).astype(jnp.bfloat16)   # (KT, TILE)
+    acc = jnp.zeros(out_ref.shape, jnp.uint32)
+    for l in range(n_limbs):
+        hl = ((h >> np.uint32(8 * l)) & np.uint32(0xFF)).astype(
+            jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+        part = jax.lax.dot_general(
+            hl, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = acc + (part.astype(jnp.int32).astype(jnp.uint32)
+                     << np.uint32(8 * l))
+    out_ref[:] += acc
+
+
+def matmul_u32_acc(H, B, C, *, n_limbs: int,
+                   interpret: bool | None = None):
+    """C + H @ B in exact uint32 with C aliased to the output — the
+    chunk-accumulating form of matmul_u32 used by the Mosaic-first
+    new2all device tier (no XLA dot programs on the hot path; see
+    device_a2a module doc for why that matters on tunneled rigs)."""
+    if interpret is None:
+        interpret = not on_tpu()
+    Q, P = H.shape
+    S = B.shape[1]
+    grid = (Q // TILE, S // TILE, P // KT)
+    kernel = functools.partial(_matmul_acc_kernel, n_limbs=n_limbs)
+    # 32-bit tracing: see gram_u32 (x64 breaks Mosaic grid plumbing)
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((TILE, KT), lambda q, s, k: (q, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((KT, TILE), lambda q, s, k: (k, s),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE, TILE), lambda q, s, k: (q, s),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((TILE, TILE), lambda q, s, k: (q, s),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Q, S), jnp.uint32),
+            input_output_aliases={2: 0},
+            interpret=interpret,
+        )(H, B, C)
+
+
+def _cross_pk_kernel(w_ref, bpi_ref, bpj_ref, c_ref, out_ref, *,
+                     n_limbs):
+    """(i, j, k) step of the packed cross-database contraction
+    C = C_in + U^T diag(w) V (full rectangular grid, U != V)."""
+    _gram_pk_body(pl.program_id(2), w_ref, bpi_ref, bpj_ref, c_ref,
+                  out_ref, n_limbs)
+
+
+def cross_u32_pk(Up, Vp, w, C, *, n_limbs: int,
+                 interpret: bool | None = None):
+    """C + U^T diag(w) V over pattern-axis bit-packed operands — the
+    Mosaic db2db kernel (reference db2db_sp,
+    similarity_calculator.cpp:1225-1540): rows of Up/Vp pack eight
+    pattern-PAIR incidence rows per byte (same layout and b-major
+    weight order as gram_u32_pk_tri); C: uint32[S1, S2] aliased to the
+    output."""
+    if interpret is None:
+        interpret = not on_tpu()
+    Pb, S1 = Up.shape
+    S2 = Vp.shape[1]
+    P = Pb * 8
+    KB = KT // 8
+    grid = (S1 // TILE, S2 // TILE, P // KT)
+    kernel = functools.partial(_cross_pk_kernel, n_limbs=n_limbs)
+    # 32-bit tracing: see gram_u32 (x64 breaks Mosaic grid plumbing)
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((KT, 1), lambda i, j, k: (k, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((KB, TILE), lambda i, j, k: (k, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((KB, TILE), lambda i, j, k: (k, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE, TILE), lambda i, j, k: (i, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((TILE, TILE), lambda i, j, k: (i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((S1, S2), jnp.uint32),
+            input_output_aliases={3: 0},
+            interpret=interpret,
+        )(w, Up, Vp, C)
+
+
 def matmul_u32_reference(H, B, *, n_limbs: int):
     """Pure-XLA reference of matmul_u32 (same limb decomposition)."""
     Bf = B.astype(jnp.bfloat16)

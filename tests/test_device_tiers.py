@@ -102,4 +102,4 @@ def test_n2a_pallas_tier_falls_back(monkeypatch, capsys):
     np.testing.assert_array_equal(
         intersect.many2all_counts(db, queries), host)
     err = capsys.readouterr().err
-    assert "pallas new2all tier" in err and "falling back" in err
+    assert "new2all tier" in err and "falling back" in err
