@@ -316,6 +316,20 @@ def all2all_device(db: KmerPatternDb) -> np.ndarray:
     S = db.n_samples
     if S > 46340:
         raise ValueError("triangle pack exceeds int32; use striped path")
+    # device tracing hook (SURVEY §5 tracing/profiling): dump an xprof
+    # trace of the device section to KMERDB_PROFILE=<dir>
+    prof_dir = os.environ.get("KMERDB_PROFILE")
+    if prof_dir:
+        jax.profiler.start_trace(prof_dir)
+    try:
+        return _all2all_device_inner(db, jax, jnp, pallas_gram, native)
+    finally:
+        if prof_dir:
+            jax.profiler.stop_trace()
+
+
+def _all2all_device_inner(db, jax, jnp, pallas_gram, native):
+    S = db.n_samples
     t0 = time.perf_counter()
     TILE, KT = pallas_gram.TILE, pallas_gram.KT
     S_pad = _round_up(S, TILE)

@@ -192,7 +192,8 @@ def _gram_pk_tri_kernel(it_ref, jt_ref, w_ref, bpi_ref, bpj_ref, c_ref,
 
 
 def gram_u32_pk_tri(Bp, w, C, *, n_limbs: int,
-                    interpret: bool | None = None):
+                    interpret: bool | None = None,
+                    kt: int | None = None, tile: int | None = None):
     """C + Bp^T-packed triangle Gram, everything in one Mosaic program.
 
     Bp: uint8[P//8, S] bit-packed incidence — bit b of row k is pattern
@@ -201,26 +202,40 @@ def gram_u32_pk_tri(Bp, w, C, *, n_limbs: int,
     output aliases C's buffer (donated).  P % KT == 0, S % TILE == 0.
     Only tiles with tile_row >= tile_col are updated; strict-upper
     tiles pass through C's previous contents.
+
+    kt/tile override the K-block and output-tile edges (tuning knobs;
+    exactness needs 255 * kt < 2^24 and S % tile == 0, P % kt == 0;
+    the caller's pk_weight_order must use the same kt).
+
+    Geometry sweep on the v5e (2026-08-17, P=1M, S=2048, 1 limb):
+    kt 512/1024 x tile 128 sustain ~9 TFLOPS; larger tiles or kt >=
+    2048 spill VMEM (unpack temporaries) and degrade to 4-6; a
+    two-stage variant (separate unpack pass to bf16 in HBM + pure-MXU
+    kernel) measured SLOWER (4-5 TFLOPS) — 16x the DMA per K-step
+    outweighs removing the in-kernel unpack, which is the
+    bits-as-compression argument for this design.
     """
     if interpret is None:
         interpret = not on_tpu()
+    kt = kt or KT
+    tile = tile or TILE
     Pb, S = Bp.shape
     P = Pb * 8
-    nt = S // TILE
+    nt = S // tile
     n_tri = nt * (nt + 1) // 2
     i_tab, j_tab = tri_tile_tables(nt)
-    KB = KT // 8
+    KB = kt // 8
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_tri, P // KT),
+        grid=(n_tri, P // kt),
         in_specs=[
-            pl.BlockSpec((KT, 1), lambda t, k, it, jt: (k, 0)),
-            pl.BlockSpec((KB, TILE), lambda t, k, it, jt: (k, it[t])),
-            pl.BlockSpec((KB, TILE), lambda t, k, it, jt: (k, jt[t])),
-            pl.BlockSpec((TILE, TILE),
+            pl.BlockSpec((kt, 1), lambda t, k, it, jt: (k, 0)),
+            pl.BlockSpec((KB, tile), lambda t, k, it, jt: (k, it[t])),
+            pl.BlockSpec((KB, tile), lambda t, k, it, jt: (k, jt[t])),
+            pl.BlockSpec((tile, tile),
                          lambda t, k, it, jt: (it[t], jt[t])),
         ],
-        out_specs=pl.BlockSpec((TILE, TILE),
+        out_specs=pl.BlockSpec((tile, tile),
                                lambda t, k, it, jt: (it[t], jt[t])),
     )
     kernel = functools.partial(_gram_pk_tri_kernel, n_limbs=n_limbs)
@@ -235,11 +250,12 @@ def gram_u32_pk_tri(Bp, w, C, *, n_limbs: int,
         )(jnp.asarray(i_tab), jnp.asarray(j_tab), w, Bp, Bp, C)
 
 
-def pk_weight_order(w: np.ndarray) -> np.ndarray:
+def pk_weight_order(w: np.ndarray, kt: int | None = None) -> np.ndarray:
     """Permute pattern weights to the b-major order _unpack_pk emits
-    (w.size % KT == 0)."""
+    (w.size % kt == 0)."""
+    kt = kt or KT
     return np.ascontiguousarray(
-        w.reshape(-1, KT // 8, 8).transpose(0, 2, 1).reshape(-1))
+        w.reshape(-1, kt // 8, 8).transpose(0, 2, 1).reshape(-1))
 
 
 def _gram_pk_rect_kernel(rt0_ref, w_ref, bpi_ref, bpj_ref, c_ref,

@@ -1,0 +1,71 @@
+"""Device build tier (ops/device_build.py) must be BIT-identical to
+the host C++ merge + dedup, including pattern id order, across
+partitions and the -extend path (reference write path
+src/prefix_kmer_db.cpp:244-434)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from kmerdb_tpu.models.database import KmerPatternDb
+from kmerdb_tpu.models import builder
+from kmerdb_tpu.utils import native
+
+_FIELDS = ("kmers", "kmer_pattern_ids", "pattern_offsets",
+           "pattern_sample_ids", "pattern_num_kmers")
+
+
+def _build(samples, split, device):
+    old = os.environ.get("KMERDB_BUILD_DEVICE")
+    os.environ["KMERDB_BUILD_DEVICE"] = "1" if device else "0"
+    try:
+        db = builder.add_samples(
+            KmerPatternDb(kmer_length=18, fraction=1.0,
+                          alphabet_name="nt"), samples[:split])
+        return builder.add_samples(db, samples[split:])
+    finally:
+        if old is None:
+            del os.environ["KMERDB_BUILD_DEVICE"]
+        else:
+            os.environ["KMERDB_BUILD_DEVICE"] = old
+
+
+@pytest.mark.parametrize("seed,partition_elems", [(4, 5000), (9, 800)])
+def test_device_build_bit_identical(seed, partition_elems, monkeypatch):
+    if not native.available:
+        pytest.skip("no native lib")
+    monkeypatch.setattr(builder, "_PARTITION_ELEMS", partition_elems)
+    rng = np.random.default_rng(seed)
+    pool = rng.integers(0, 1 << 34, size=3000, dtype=np.uint64)
+    samples = []
+    for i in range(24):
+        ks = rng.choice(pool, size=int(rng.integers(200, 1200)),
+                        replace=False)
+        priv = rng.integers(1 << 40, 1 << 41, size=60, dtype=np.uint64)
+        samples.append((f"s{i}", np.unique(np.concatenate([ks, priv]))))
+
+    db_host = _build(samples, 16, device=False)
+    db_dev = _build(samples, 16, device=True)
+    for f in _FIELDS:
+        np.testing.assert_array_equal(getattr(db_host, f),
+                                      getattr(db_dev, f), err_msg=f)
+
+
+def test_streamed_rows_match_full_matrix():
+    """all2all_device_rows (stripe streaming, overlap handling,
+    resident groups) emits exactly the full matrix's rows."""
+    from kmerdb_tpu.ops import intersect, device_a2a
+    rng = np.random.default_rng(31)
+    samples = [(f"s{i}", np.unique(rng.integers(
+        0, 1 << 36, size=int(rng.integers(300, 1500))).astype(np.uint64)))
+        for i in range(200)]    # 200 rows -> 2 x 128-row stripes, ragged
+    db = builder.add_samples(
+        KmerPatternDb(kmer_length=18, fraction=1.0, alphabet_name="nt"),
+        samples)
+    C = intersect.all2all_counts(db)
+    rows = {}
+    device_a2a.all2all_device_rows(
+        db, lambda i, r: rows.__setitem__(i, r.copy()), stripe_rows=128)
+    got = np.stack([rows[i] for i in range(db.n_samples)])
+    np.testing.assert_array_equal(got, C)
