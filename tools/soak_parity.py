@@ -138,6 +138,12 @@ def one_case(case, seed):
     k = int(rng.integers(5, kmax + 1))
     n = int(rng.integers(3, 10))
     length = int(rng.integers(200, 4000))
+    if case % 8 == 7:
+        # scale-shape case: wide matrices + longer genomes exercise the
+        # sparse/filter pipeline at the large-collection geometry
+        # (VERDICT r1 item 10: keep the scale shapes in rotation)
+        n = int(rng.integers(40, 160))
+        length = int(rng.integers(4000, 20000))
     gz = bool(rng.integers(0, 2))
     multifasta = bool(rng.integers(0, 2))
     wrap = int(rng.integers(40, 90))
