@@ -352,17 +352,26 @@ def run_distance(p):
     with open(in_name) as fin, open(out_name, "w", newline="") as fout:
         header = fin.readline().rstrip("\n")
         # 'kmer-length: K fraction: F ,db-samples ,names...'
-        toks = header.split()
-        kmer_length = int(toks[1])
-        fraction = float(toks[3])
-        # remainder after the 5th whitespace token (',db-samples')
-        idx = 0
-        for _ in range(5):
-            while header[idx] == " ":
-                idx += 1
-            while idx < len(header) and header[idx] != " ":
-                idx += 1
-        rest = header[idx:]
+        # (console_distance.cpp:63-96 streams this with a line buffer;
+        # malformed headers must fail as a diagnosed error, not a raw
+        # IndexError/ValueError)
+        try:
+            toks = header.split()
+            if toks[0] != "kmer-length:" or toks[2] != "fraction:":
+                raise ValueError("unexpected field names")
+            kmer_length = int(toks[1])
+            fraction = float(toks[3])
+            # remainder after the 5th whitespace token (',db-samples')
+            idx = 0
+            for _ in range(5):
+                while header[idx] == " ":
+                    idx += 1
+                while idx < len(header) and header[idx] != " ":
+                    idx += 1
+            rest = header[idx:]
+        except (IndexError, ValueError) as e:
+            raise IOError(f"Cannot parse similarity matrix header of "
+                          f"{in_name}: {e}") from e
         names = [t for t in rest.replace(",", " ").split()]
         if not p.phylip_out:
             fout.write(f"kmer-length: {kmer_length} fraction: "
@@ -370,7 +379,11 @@ def run_distance(p):
 
         totals_line = fin.readline().rstrip("\n")
         toks = totals_line.replace(",", " ").split()
-        db_counts = [int(t) for t in toks[2:]]
+        try:
+            db_counts = [int(t) for t in toks[2:]]
+        except ValueError as e:
+            raise IOError(f"Cannot parse total-kmers row of "
+                          f"{in_name}: {e}") from e
         if p.phylip_out:
             fout.write(f"{len(db_counts)}\n")
 

