@@ -255,9 +255,11 @@ def all2all_device_rows(db: KmerPatternDb, row_handler,
                 cols = sids[offs[p]:offs[p + 1]]
                 buf[i >> 3, cols] |= np.uint8(1 << (i & 7))
         wbuf[:gp.size] = w[gp]
-        # resident arrays must not alias the reused scratch (the CPU
-        # backend zero-copies numpy views into device buffers)
-        bp = buf[:rows // 8].copy() if copy else buf[:rows // 8]
+        # resident arrays — and any array on the CPU backend, which
+        # zero-copies numpy views into device buffers — must not alias
+        # the reused scratch
+        bp = (buf[:rows // 8].copy() if (copy or interp)
+              else buf[:rows // 8])
         return (jax.device_put(bp),
                 jax.device_put(pallas_gram.pk_weight_order(
                     wbuf[:rows]).reshape(-1, 1)))
@@ -359,7 +361,6 @@ def _all2all_device_inner(db, jax, jnp, pallas_gram, native):
     # 0.5 s compile into minutes — large fills/pushes between compiles
     # evict exactly those pages.  AOT-compiling the full shape set up
     # front (small device buffers only) keeps every compile warm.
-    _, jnp = jax_modules()
     tj0 = time.perf_counter()
     if _warmup_thread is not None:
         _warmup_thread.join()
