@@ -157,6 +157,13 @@ def bench_scale(base):
         "device_tflops_warm": round(st["flops"] / dev_warm_s / 1e12, 2),
         "device_mfu_warm_pct": round(
             st["flops"] / dev_warm_s / V5E_BF16_PEAK * 100, 2),
+        "device_mfu_note": ("warm MFU divides Gram FLOPs by the WHOLE "
+                            "device section (incl. fills, pushes and the "
+                            "~10 MB/s tunneled result pull, which dominate "
+                            "at this corpus's modest FLOP count); the "
+                            "kernel alone sustains ~9 TFLOPS (4.6% of "
+                            "bf16 peak) on resident data — geometry sweep "
+                            "2026-08-17, see gram_u32_pk_tri docstring"),
         "device_phase_s": {k: round(v, 2) for k, v in st.items()
                            if k.endswith("_s")},
         "ref_build_s": base.get("scale_reference_build_s"),
