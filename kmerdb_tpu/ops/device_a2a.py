@@ -236,6 +236,16 @@ def all2all_device_rows(db: KmerPatternDb, row_handler,
                 jax.ShapeDtypeStruct((stripe_rows, S_pad), jnp.uint32),
                 jax.ShapeDtypeStruct((rows // 8, S_pad), jnp.uint8),
                 jax.ShapeDtypeStruct((rows, 1), jnp.uint32)).compile()
+    # u16 stripe pulls when every count fits (see all2all_device)
+    counts_max = int(db.sample_kmer_counts.max()) \
+        if db.sample_kmer_counts.size else 0
+    cast_exec = None
+    if counts_max < (1 << 16):
+        cast_exec = jax.jit(functools.partial(
+            pallas_gram.cast_rows, dtype=jnp.uint16,
+            interpret=interp)).lower(
+            jax.ShapeDtypeStruct((stripe_rows, S_pad),
+                                 jnp.uint32)).compile()
     t_compile = time.perf_counter() - tc0
 
     buf = native.alloc_array(group_rows // 8 * S_pad, np.uint8,
@@ -288,7 +298,8 @@ def all2all_device_rows(db: KmerPatternDb, row_handler,
         for (Bp, wg), n_limbs, rows in it:
             C = execs[(n_limbs, rows)](rt0_arr, C, Bp, wg)
             flops += 2.0 * rows * stripe_rows * S_pad * n_limbs
-        stripe = np.asarray(C)
+        stripe = np.asarray(cast_exec(C) if cast_exec is not None
+                            else C).astype(np.uint32, copy=False)
         base = rt0 * TILE
         for i in range(max(next_row, base), min(base + stripe_rows, S)):
             row_handler(i, stripe[i - base, :S])
@@ -375,8 +386,14 @@ def _all2all_device_inner(db, jax, jnp, pallas_gram, native):
                 jax.ShapeDtypeStruct((S_pad, S_pad), jnp.uint32),
                 jax.ShapeDtypeStruct((rows // 8, S_pad), jnp.uint8),
                 jax.ShapeDtypeStruct((rows, 1), jnp.uint32)).compile()
+    # every count is bounded by min(sample kmer counts), so when the
+    # largest sample fits u16 the pull halves on the ~10 MB/s link
+    counts_max = int(db.sample_kmer_counts.max()) \
+        if db.sample_kmer_counts.size else 0
+    pull_dtype = jnp.uint16 if counts_max < (1 << 16) else jnp.uint32
     pack_exec = jax.jit(functools.partial(
-        pallas_gram.tril_tiles, interpret=interp)).lower(
+        pallas_gram.tril_tiles, interpret=interp,
+        dtype=pull_dtype)).lower(
         jax.ShapeDtypeStruct((S_pad, S_pad), jnp.uint32)).compile()
     t_compile = time.perf_counter() - tc0
 
@@ -421,7 +438,7 @@ def _all2all_device_inner(db, jax, jnp, pallas_gram, native):
         t_push += tc - tb
 
     t1 = time.perf_counter()
-    tiles = np.asarray(pack_exec(C))
+    tiles = np.asarray(pack_exec(C)).astype(np.uint32, copy=False)
     t2 = time.perf_counter()
     out = pallas_gram.untile_symmetric(tiles, S)
     t3 = time.perf_counter()

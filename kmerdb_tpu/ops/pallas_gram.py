@@ -336,10 +336,10 @@ def gram_u32_pk_rows(Bp, w, C_stripe, rt0: int, *, n_limbs: int,
 
 
 def _pack_tiles_kernel(it_ref, jt_ref, c_ref, out_ref):
-    out_ref[:] = c_ref[:][None]
+    out_ref[:] = c_ref[:][None].astype(out_ref.dtype)
 
 
-def tril_tiles(C, *, interpret: bool | None = None):
+def tril_tiles(C, *, interpret: bool | None = None, dtype=None):
     """Gather the lower-tile-triangle of C into [n_tri, TILE, TILE].
 
     The obvious XLA searchsorted+gather pack program hits the remote
@@ -348,6 +348,10 @@ def tril_tiles(C, *, interpret: bool | None = None):
     Tile t of the output is C tile (i_tab[t], j_tab[t]) — the same
     enumeration gram_u32_tri uses; hosts rebuild the symmetric matrix
     by placing each tile at (i, j) and its transpose at (j, i).
+
+    dtype narrows the pulled cells (uint16 when every count is known
+    < 2^16 — C[i,j] <= min(sample kmer counts) — halving the pull on
+    slow device->host links).
     """
     if interpret is None:
         interpret = not on_tpu()
@@ -370,9 +374,31 @@ def tril_tiles(C, *, interpret: bool | None = None):
             _pack_tiles_kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n_tri, TILE, TILE),
-                                           C.dtype),
+                                           dtype or C.dtype),
             interpret=interpret,
         )(jnp.asarray(i_tab), jnp.asarray(j_tab), C)
+
+
+def _cast_rows_kernel(c_ref, out_ref):
+    out_ref[:] = c_ref[:].astype(out_ref.dtype)
+
+
+def cast_rows(C, dtype, *, interpret: bool | None = None):
+    """Mosaic elementwise dtype cast of a row-major matrix (the
+    streamed stripe pull's u32 -> u16 narrowing; an XLA convert would
+    risk the slow-compile lottery)."""
+    if interpret is None:
+        interpret = not on_tpu()
+    R, S = C.shape
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            _cast_rows_kernel,
+            grid=(R // TILE,),
+            in_specs=[pl.BlockSpec((TILE, S), lambda i: (i, 0))],
+            out_specs=pl.BlockSpec((TILE, S), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((R, S), dtype),
+            interpret=interpret,
+        )(C)
 
 
 @functools.lru_cache(maxsize=None)
