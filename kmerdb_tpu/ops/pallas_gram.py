@@ -386,16 +386,18 @@ def _cast_rows_kernel(c_ref, out_ref):
 def cast_rows(C, dtype, *, interpret: bool | None = None):
     """Mosaic elementwise dtype cast of a row-major matrix (the
     streamed stripe pull's u32 -> u16 narrowing; an XLA convert would
-    risk the slow-compile lottery)."""
+    risk the slow-compile lottery).  Column-tiled so wide matrices
+    stay within VMEM (a (128, 16384) u32+u16 block pair is 24 MB)."""
     if interpret is None:
         interpret = not on_tpu()
     R, S = C.shape
+    cw = min(S, 2048)
     with jax.enable_x64(False):
         return pl.pallas_call(
             _cast_rows_kernel,
-            grid=(R // TILE,),
-            in_specs=[pl.BlockSpec((TILE, S), lambda i: (i, 0))],
-            out_specs=pl.BlockSpec((TILE, S), lambda i: (i, 0)),
+            grid=(R // TILE, S // cw),
+            in_specs=[pl.BlockSpec((TILE, cw), lambda i, j: (i, j))],
+            out_specs=pl.BlockSpec((TILE, cw), lambda i, j: (i, j)),
             out_shape=jax.ShapeDtypeStruct((R, S), dtype),
             interpret=interpret,
         )(C)
