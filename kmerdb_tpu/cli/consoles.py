@@ -162,12 +162,24 @@ def run_all2all(p):
             else:
                 ofs.write(csvio.dense_row(name, cnt, row))
 
+        streamed = False
         if _stream_rows(db):
             # large-S memory story: C never fully materializes —
             # device row stripes stream straight into the CSV writer
             from ..ops import device_a2a
-            device_a2a.all2all_device_rows(db, emit)
-        else:
+            try:
+                device_a2a.all2all_device_rows(db, emit)
+                streamed = True
+            except Exception as e:
+                log.normal(f"WARNING: streamed device all2all failed, "
+                           f"recomputing via the matrix path: {e}")
+                ofs.seek(0)
+                ofs.truncate()
+                ofs.write(csvio.matrix_header(db.kmer_length,
+                                              db.fraction,
+                                              db.sample_names))
+                ofs.write(csvio.totals_row(db.sample_kmer_counts))
+        if not streamed:
             C = intersect.all2all_counts(db)
             t2 = time.perf_counter()
             log.verbose(f"Similarity matrix computed in {t2 - t1:.3f}s")
@@ -180,6 +192,8 @@ def _stream_rows(db) -> bool:
     the full C matrix would strain host+device memory (default above
     16k samples on a TPU host; KMERDB_A2A_STREAM=1/0 forces)."""
     import os
+    if db.n_samples == 0:
+        return False
     env = os.environ.get("KMERDB_A2A_STREAM", "")
     if env in ("0", "1"):
         return env == "1"

@@ -162,8 +162,9 @@ def add_samples(db: KmerPatternDb,
     old_sids = np.ascontiguousarray(db.pattern_sample_ids, dtype=np.uint32)
 
     if native.available:
-        if (db.n_patterns >= (1 << 31)
-                or db.n_samples + len(names) >= (1 << 31)):
+        # names already holds old + new samples, so its length IS the
+        # total sample count after this batch
+        if db.n_patterns >= (1 << 31) or len(names) >= (1 << 31):
             raise OverflowError("pattern/sample ids exceed 2^31")
         old_vals = (_PATTERN_REF32
                     | db.kmer_pattern_ids.astype(np.uint32))

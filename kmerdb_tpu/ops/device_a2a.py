@@ -199,6 +199,8 @@ def all2all_device_rows(db: KmerPatternDb, row_handler,
     from ..utils import native
 
     S = db.n_samples
+    if S == 0:
+        return
     TILE, KT = pallas_gram.TILE, pallas_gram.KT
     S_pad = _round_up(S, TILE)
     nt = S_pad // TILE
@@ -255,7 +257,7 @@ def all2all_device_rows(db: KmerPatternDb, row_handler,
                                           np.uint8)
     wbuf = np.zeros(group_rows, dtype=np.uint32)
 
-    def packed_group(gp, rows, copy=False):
+    def packed_group(gp, rows):
         buf[:rows // 8] = 0
         wbuf[:rows] = 0
         if native.available:
@@ -265,11 +267,11 @@ def all2all_device_rows(db: KmerPatternDb, row_handler,
                 cols = sids[offs[p]:offs[p + 1]]
                 buf[i >> 3, cols] |= np.uint8(1 << (i & 7))
         wbuf[:gp.size] = w[gp]
-        # resident arrays — and any array on the CPU backend, which
-        # zero-copies numpy views into device buffers — must not alias
-        # the reused scratch
-        bp = (buf[:rows // 8].copy() if (copy or interp)
-              else buf[:rows // 8])
+        # never hand a live view of the reused scratch to device_put:
+        # the CPU backend zero-copies numpy views, and PJRT does not
+        # promise the host buffer is released before the async
+        # transfer completes on other backends either
+        bp = buf[:rows // 8].copy()
         return (jax.device_put(bp),
                 jax.device_put(pallas_gram.pk_weight_order(
                     wbuf[:rows]).reshape(-1, 1)))
@@ -279,7 +281,7 @@ def all2all_device_rows(db: KmerPatternDb, row_handler,
     resident = total_packed <= (resident_mb << 20)
     dev_groups = None
     if resident:
-        dev_groups = [(packed_group(gp, rows, copy=True), n_limbs, rows)
+        dev_groups = [(packed_group(gp, rows), n_limbs, rows)
                       for gp, n_limbs, rows in groups]
 
     next_row = 0
@@ -424,11 +426,11 @@ def _all2all_device_inner(db, jax, jnp, pallas_gram, native):
                 buf[i >> 3, cols] |= np.uint8(1 << (i & 7))
         wbuf[:gp.size] = w[gp]
         tb = time.perf_counter()
-        # the CPU backend zero-copies numpy views into device buffers;
-        # copy so refilling the scratch can't race the async dispatch
-        # (TPU device_put stages a real transfer — no copy needed)
-        Bp = jax.device_put(buf[:rows // 8].copy() if interp
-                            else buf[:rows // 8])
+        # never hand a live view of the reused scratch to device_put:
+        # the CPU backend zero-copies numpy views, and PJRT does not
+        # promise the host buffer is released before the async
+        # transfer completes on other backends either
+        Bp = jax.device_put(buf[:rows // 8].copy())
         wg = jax.device_put(
             pallas_gram.pk_weight_order(wbuf[:rows]).reshape(-1, 1))
         tc = time.perf_counter()

@@ -160,8 +160,10 @@ def _d2d_device(db_row, db_col, up1, up2, cnts):
                 Vbuf[i >> 3, s2[o2[p2c[i]]:o2[p2c[i] + 1]]] |= \
                     np.uint8(1 << (i & 7))
         wbuf[:g1 - g0] = cnts[g0:g1]
-        C = ex(jax.device_put(Ubuf.copy() if interp else Ubuf),
-               jax.device_put(Vbuf.copy() if interp else Vbuf),
+        # copies: never hand live views of reused scratch to the
+        # async device_put (see device_a2a.packed_group)
+        C = ex(jax.device_put(Ubuf.copy()),
+               jax.device_put(Vbuf.copy()),
                jax.device_put(pallas_gram.pk_weight_order(
                    wbuf).reshape(-1, 1)), C)
     return np.asarray(C)[:S1, :S2]
@@ -274,15 +276,22 @@ def all2all_counts(db: KmerPatternDb, chunk: int = _CHUNK) -> np.ndarray:
     # databases go to the TPU.  KMERDB_A2A_DEVICE=1 forces device,
     # =0 forces host; KMERDB_A2A_PALLAS=0 selects the legacy XLA limb
     # scan instead of the packed Pallas tier (warm-process setups).
+    #
+    # The host short-circuit runs BEFORE any jax import: a small CLI
+    # job must not pay backend init just to decide it stays on host.
     import os
-    from . import device_a2a
-    from .pallas_gram import on_tpu
     from ..utils import native
     device_env = os.environ.get("KMERDB_A2A_DEVICE", "")
-    want_device = device_env == "1" or (
-        device_env != "0" and native.available and on_tpu()
-        and device_a2a.device_cost_s(db) < device_a2a.host_cost_s(db))
+    want_device = device_env == "1"
+    if not want_device and device_env != "0" and native.available:
+        from .device_a2a import _COST, host_cost_s, device_cost_s
+        if host_cost_s(db) >= _COST["fixed_s"]:
+            # big enough that the device might win: consult the full
+            # model (this is the first point that touches jax)
+            from .pallas_gram import on_tpu
+            want_device = on_tpu() and device_cost_s(db) < host_cost_s(db)
     if want_device and os.environ.get("KMERDB_A2A_PALLAS") != "0":
+        from . import device_a2a
         device_a2a.warmup_async()
         try:
             return device_a2a.all2all_device(db)
@@ -290,6 +299,11 @@ def all2all_counts(db: KmerPatternDb, chunk: int = _CHUNK) -> np.ndarray:
             from ..utils import log
             log.normal(f"WARNING: packed pallas all2all tier failed, "
                        f"falling back: {e}")
+            # the host kernel is the reliable fallback — never route a
+            # failed device job onto the slow-compile XLA scan when a
+            # working native path exists
+            if native.available:
+                return native.a2a_dense(offs, sids, w, S)
     if native.available and not want_device:
         return native.a2a_dense(offs, sids, w, S)
 
@@ -455,10 +469,14 @@ def many2all_counts(db: KmerPatternDb, queries: list[np.ndarray],
         return np.stack([one2all_counts(db, q) for q in queries])
 
     H_all, B_all, n_limbs = m2a_prepare(db, queries)
-    # Mosaic-first chunk loop (no XLA dot programs on the hot path —
-    # see ops/device_a2a module doc); KMERDB_A2A_PALLAS=0 selects the
-    # legacy XLA limb scan for warm-process setups
-    if os.environ.get("KMERDB_A2A_PALLAS") != "0":
+    # Mosaic-first chunk loop on TPU (no XLA dot programs on the hot
+    # path — see ops/device_a2a module doc); KMERDB_A2A_PALLAS=0
+    # selects the legacy XLA limb scan (warm-process setups), which is
+    # also the off-TPU default — the Pallas interpreter would emulate
+    # every MXU tile in software there
+    from .pallas_gram import on_tpu
+    pallas_env = os.environ.get("KMERDB_A2A_PALLAS")
+    if pallas_env != "0" and (on_tpu() or pallas_env == "1"):
         from ..utils import log
         try:
             return _m2a_device_mosaic(H_all, B_all, n_limbs)[:Q, :S]
@@ -605,11 +623,16 @@ def db2db_counts(db_row: KmerPatternDb, db_col: KmerPatternDb) -> np.ndarray:
     up1, up2, cnts = pairs
 
     # device tier (KMERDB_D2D_DEVICE=1): pattern-pair chunks contracted
-    # on the MXU as C = U^T diag(counts) V over gathered incidence rows
+    # on the MXU as C = U^T diag(counts) V via the packed Mosaic cross
+    # kernel.  Off-TPU the Pallas interpreter would emulate the MXU in
+    # software, so the env is honored only on TPU (or with
+    # KMERDB_A2A_PALLAS=1 for the interpret-mode test path).
     import os
     if os.environ.get("KMERDB_D2D_DEVICE") == "1" and native.available:
-        return _d2d_device(db_row, db_col, up1, up2,
-                           np.ascontiguousarray(cnts, dtype=np.uint32))
+        from .pallas_gram import on_tpu
+        if on_tpu() or os.environ.get("KMERDB_A2A_PALLAS") == "1":
+            return _d2d_device(db_row, db_col, up1, up2,
+                               np.ascontiguousarray(cnts, dtype=np.uint32))
 
     o1 = np.ascontiguousarray(db_row.pattern_offsets, dtype=np.int64)
     s1 = np.ascontiguousarray(db_row.pattern_sample_ids, dtype=np.uint32)

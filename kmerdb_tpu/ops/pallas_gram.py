@@ -391,7 +391,10 @@ def cast_rows(C, dtype, *, interpret: bool | None = None):
     if interpret is None:
         interpret = not on_tpu()
     R, S = C.shape
-    cw = min(S, 2048)
+    # cw must DIVIDE S or the tail columns are never written; S is a
+    # multiple of TILE, so a TILE-wide column block always works and
+    # stays far under VMEM
+    cw = 2048 if S % 2048 == 0 else TILE
     with jax.enable_x64(False):
         return pl.pallas_call(
             _cast_rows_kernel,

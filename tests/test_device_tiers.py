@@ -85,6 +85,10 @@ def test_d2d_device_env(monkeypatch):
     host = intersect.db2db_counts(dbA, dbB)
     assert host.max() > 0, "test corpus must actually intersect"
     monkeypatch.setenv("KMERDB_D2D_DEVICE", "1")
+    # off-TPU the Mosaic tier needs the explicit pallas opt-in (it
+    # runs in the interpreter here); without it the env falls back to
+    # the host path
+    monkeypatch.setenv("KMERDB_A2A_PALLAS", "1")
     np.testing.assert_array_equal(intersect.db2db_counts(dbA, dbB), host)
 
 
