@@ -181,6 +181,23 @@ def _jit_rows_step(n_limbs: int, interpret: bool = False):
     return jax.jit(step, donate_argnums=(1,))
 
 
+def _fill_packed(gp, rows, offs, sids, w, buf, wbuf):
+    """Zero the reused scratch and fill the pattern-axis bit-packed
+    incidence + weights for one group (shared by the matrix and
+    streamed paths; the db2db tier fills two CSRs and keeps its own
+    loop)."""
+    from ..utils import native
+    buf[:rows // 8] = 0
+    wbuf[:rows] = 0
+    if native.available:
+        native.fill_incidence_bits(gp, offs, sids, buf)
+    else:
+        for i, p in enumerate(gp):
+            cols = sids[offs[p]:offs[p + 1]]
+            buf[i >> 3, cols] |= np.uint8(1 << (i & 7))
+    wbuf[:gp.size] = w[gp]
+
+
 def all2all_device_rows(db: KmerPatternDb, row_handler,
                         stripe_rows: int | None = None) -> None:
     """Streamed large-S device all2all: C is computed in row stripes
@@ -258,15 +275,7 @@ def all2all_device_rows(db: KmerPatternDb, row_handler,
     wbuf = np.zeros(group_rows, dtype=np.uint32)
 
     def packed_group(gp, rows):
-        buf[:rows // 8] = 0
-        wbuf[:rows] = 0
-        if native.available:
-            native.fill_incidence_bits(gp, offs, sids, buf)
-        else:
-            for i, p in enumerate(gp):
-                cols = sids[offs[p]:offs[p + 1]]
-                buf[i >> 3, cols] |= np.uint8(1 << (i & 7))
-        wbuf[:gp.size] = w[gp]
+        _fill_packed(gp, rows, offs, sids, w, buf, wbuf)
         # never hand a live view of the reused scratch to device_put:
         # the CPU backend zero-copies numpy views, and PJRT does not
         # promise the host buffer is released before the async
@@ -416,15 +425,7 @@ def _all2all_device_inner(db, jax, jnp, pallas_gram, native):
     tri_frac = (nt + 1) / (2 * nt)
     for gp, n_limbs, rows in groups:
         ta = time.perf_counter()
-        buf[:rows // 8] = 0
-        wbuf[:rows] = 0
-        if native.available:
-            native.fill_incidence_bits(gp, offs, sids, buf)
-        else:
-            for i, p in enumerate(gp):
-                cols = sids[offs[p]:offs[p + 1]]
-                buf[i >> 3, cols] |= np.uint8(1 << (i & 7))
-        wbuf[:gp.size] = w[gp]
+        _fill_packed(gp, rows, offs, sids, w, buf, wbuf)
         tb = time.perf_counter()
         # never hand a live view of the reused scratch to device_put:
         # the CPU backend zero-copies numpy views, and PJRT does not
