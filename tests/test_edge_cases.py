@@ -178,3 +178,30 @@ def test_distance_malformed_header_diagnosed(tmp_path):
     bad2.write_text("kmer-length: 18 fraction: 1 ,db-samples ,a,b\n"
                     "query-samples,total-kmers,xx,yy\n")
     assert main(["distance", "jaccard", str(bad2), str(out)]) == 255
+
+
+def test_k11_aa11_diamond_build(tmp_path):
+    """k=11 over aa11_diamond crashes the reference binary with glibc
+    heap corruption (soak case 2006, 2026-08-17); our build must
+    handle the same configuration (cf. the r1 headerless-input
+    segfault probe above — robustness is part of the rebuild's
+    contract)."""
+    import numpy as np
+    from kmerdb_tpu.cli.main import main
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(4):
+        seq = bytes(rng.choice(list(b"ARNDCQEGHILKMFPSTWYV"),
+                               size=3000).astype(np.uint8))
+        p = tmp_path / f"p{i}.fasta"
+        p.write_bytes(b">p%d\n" % i + seq + b"\n")
+        paths.append(str(p))
+    lst = tmp_path / "c.list"
+    lst.write_text("".join(p + "\n" for p in paths))
+    db = str(tmp_path / "p.db")
+    assert main(["build", "-k", "11", "-alphabet", "aa11_diamond",
+                 str(lst), db]) == 0
+    out = str(tmp_path / "p.a2a")
+    assert main(["all2all", db, out]) == 0
+    lines = open(out).read().splitlines()
+    assert len(lines) == 6  # header + totals + 4 rows
