@@ -23,6 +23,11 @@ import traceback
 
 import numpy as np
 
+# the device-build rotation uses jax; pin it to the CPU backend so the
+# soak never rides the tunneled TPU (whose compile/transfer service
+# can stall minutes per fresh process — see ops/device_a2a docs)
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 #: build with tools/build_reference.sh
 REF = os.environ.get("KMERDB_REF_BIN", "/tmp/refbuild/bin/kmer-db")
 sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
@@ -158,6 +163,15 @@ def one_case(case, seed):
         length = int(rng.integers(4000, 20000))
     gz = bool(rng.integers(0, 2))
     multifasta = bool(rng.integers(0, 2))
+    # rotate the round-2 device paths through the differential oracle:
+    # every 16th case builds OUR database via the device merge+dedup
+    # tier (bit-identical contract, ops/device_build.py)
+    dev_build = (case % 16 == 11)
+    os.environ.pop("KMERDB_BUILD_DEVICE", None)
+    if dev_build:
+        os.environ["KMERDB_BUILD_DEVICE"] = "1"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     wrap = int(rng.integers(40, 90))
     frac_mode = int(rng.integers(0, 3))  # 0 plain, 1 -f, 2 -f + -f-start
     extend = bool(rng.integers(0, 2)) and not multifasta
@@ -176,7 +190,8 @@ def one_case(case, seed):
         if multifasta:
             bargs += ["-multisample-fasta"]
         tag = (f"{alpha} k={k} n={n} len={length} gz={gz} "
-               f"mf={multifasta} frac={frac_mode} ext={extend}")
+               f"mf={multifasta} frac={frac_mode} ext={extend}"
+               f"{' devbuild' if dev_build else ''}")
 
         if extend:
             lst1 = tmp / "c1.list"
