@@ -163,15 +163,12 @@ def one_case(case, seed):
         length = int(rng.integers(4000, 20000))
     gz = bool(rng.integers(0, 2))
     multifasta = bool(rng.integers(0, 2))
-    # rotate the round-2 device paths through the differential oracle:
-    # every 16th case builds OUR database via the device merge+dedup
-    # tier (bit-identical contract, ops/device_build.py)
-    dev_build = (case % 16 == 11)
-    os.environ.pop("KMERDB_BUILD_DEVICE", None)
-    if dev_build:
-        os.environ["KMERDB_BUILD_DEVICE"] = "1"
-        import jax
-        jax.config.update("jax_platforms", "cpu")
+    # NOTE: the device-build tier is deliberately NOT rotated here —
+    # in-process jax init mid-soak deadlocked against the axon
+    # sitecustomize (observed case 4107).  Coverage is transitive
+    # instead: tests/test_device_build.py proves device == host build
+    # bit-for-bit, and this soak proves host == reference.
+    dev_build = False
     wrap = int(rng.integers(40, 90))
     frac_mode = int(rng.integers(0, 3))  # 0 plain, 1 -f, 2 -f + -f-start
     extend = bool(rng.integers(0, 2)) and not multifasta
