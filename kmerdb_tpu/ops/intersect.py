@@ -425,6 +425,7 @@ def _m2a_scan_impl(H_all, B_all, *, n_limbs, use_pallas=False):
     """
     jax, jnp = jax_modules()
     from . import pallas_gram
+    H_all = H_all.astype(jnp.uint32)   # u8-packed prepare output
     Q_pad = H_all.shape[1]
     S_pad = B_all.shape[2]
     C0 = jnp.zeros((Q_pad, S_pad), dtype=jnp.uint32)
@@ -563,9 +564,11 @@ def m2a_prepare(db: KmerPatternDb, queries: list[np.ndarray],
     B_all = native.alloc_array(n_chunks * P_pad * S_pad, np.int8,
                                populate=False).reshape(
                                    n_chunks, P_pad, S_pad)
-    H_all = native.alloc_array(n_chunks * Q_pad * P_pad, np.uint32,
-                               populate=False).reshape(
-                                   n_chunks, Q_pad, P_pad)
+    # single-limb hit counts fit u8, quartering the device push
+    h_dtype = np.uint8 if n_limbs == 1 else np.uint32
+    H_all = native.alloc_array(
+        n_chunks * Q_pad * P_pad * np.dtype(h_dtype).itemsize, np.uint8,
+        populate=False).view(h_dtype).reshape(n_chunks, Q_pad, P_pad)
     for c in range(n_chunks):
         p0, p1 = bounds[c], bounds[c + 1]
         lo, hi = int(offs[p0]), int(offs[p1])

@@ -449,7 +449,7 @@ def _matmul_tile_kernel(h_ref, b_ref, out_ref, *, n_limbs):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    h = h_ref[:]              # (TILE, KT) uint32
+    h = h_ref[:].astype(jnp.uint32)   # (TILE, KT); u8 when 1-limb
     b = b_ref[:].astype(jnp.float32).astype(jnp.bfloat16)   # (KT, TILE)
     acc = jnp.zeros(out_ref.shape, jnp.uint32)
     for l in range(n_limbs):
@@ -504,7 +504,7 @@ def _matmul_acc_kernel(h_ref, b_ref, c_ref, out_ref, *, n_limbs):
     def _():
         out_ref[:] = c_ref[:]
 
-    h = h_ref[:]              # (TILE, KT) uint32
+    h = h_ref[:].astype(jnp.uint32)   # (TILE, KT); u8 when 1-limb
     b = b_ref[:].astype(jnp.float32).astype(jnp.bfloat16)   # (KT, TILE)
     acc = jnp.zeros(out_ref.shape, jnp.uint32)
     for l in range(n_limbs):
@@ -600,6 +600,7 @@ def cross_u32_pk(Up, Vp, w, C, *, n_limbs: int,
 
 def matmul_u32_reference(H, B, *, n_limbs: int):
     """Pure-XLA reference of matmul_u32 (same limb decomposition)."""
+    H = H.astype(jnp.uint32)    # m2a_prepare emits u8 when 1-limb
     Bf = B.astype(jnp.bfloat16)
     C = jnp.zeros((H.shape[0], B.shape[1]), dtype=jnp.uint32)
     for l in range(n_limbs):
