@@ -38,7 +38,13 @@ from .._jaxinit import jax_modules
 
 _SALT1 = np.uint64(0x9E3779B97F4A7C15)
 _SALT2 = np.uint64(0xC2B2AE3D27D4EB4F)
-#: pad key sorting after every valid k-mer (valid keys are < 2^64 - 1)
+#: pad key.  For k <= 31 no valid k-mer reaches it; at k = 32 the
+#: all-set key IS a valid k-mer, so the kernel additionally forces a
+#: group boundary at index n_valid — pads always occupy the LAST
+#: N - n_valid slots of the sorted order because their stream rank
+#: (len(streams)) exceeds every valid rank and the sort is keyed on
+#: (key, rank), so the boundary cleanly separates a valid all-set-key
+#: group from the pad run.
 _PAD_KEY = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
@@ -50,8 +56,12 @@ def _mix(z, salt):
     return z ^ (z >> np.uint64(31))
 
 
-def _merge_dedup_impl(keys, ranks, vals):
+def _merge_dedup_impl(keys, ranks, vals, n_valid):
     """Core per-partition kernel; all arrays padded to a static N.
+
+    n_valid (traced int64 scalar) forces a group boundary between the
+    valid prefix and the pad run so a k = 32 all-set-bits k-mer (whose
+    key equals _PAD_KEY) can never merge with padding.
 
     Returns (merged_vals, newgrp, gkey, gstart, glen, h1, h2, inverse,
     first_group) — group/pattern arrays live in N-sized slots; the
@@ -65,7 +75,8 @@ def _merge_dedup_impl(keys, ranks, vals):
     ks, _, vs = jax.lax.sort((keys, ranks, vals), num_keys=2)
 
     newgrp = jnp.concatenate([
-        jnp.ones(1, dtype=bool), ks[1:] != ks[:-1]])
+        jnp.ones(1, dtype=bool),
+        (ks[1:] != ks[:-1]) | (ar[1:] == n_valid)])
     gid = jnp.cumsum(newgrp.astype(jnp.int64)) - 1
 
     v64 = vs.astype(jnp.uint64)
@@ -181,5 +192,6 @@ def merge_dedup_device(sliced_k, sliced_v, cvals):
     N = _next_pow2(max(n_valid, 1))
     keys, ranks, vals, _ = pack_streams(sliced_k, sliced_v, cvals, N)
     out = _jit_merge_dedup()(jnp.asarray(keys), jnp.asarray(ranks),
-                             jnp.asarray(vals))
+                             jnp.asarray(vals),
+                             jnp.asarray(n_valid, dtype=jnp.int64))
     return slice_valid(out, n_valid)

@@ -511,8 +511,12 @@ def _m2a_device_mosaic(H_all, B_all, n_limbs):
     n_chunks, Q_pad, P_pad = H_all.shape
     S_pad = B_all.shape[2]
     interp = not pallas_gram.on_tpu()
+    # lower with H's ACTUAL dtype: m2a_prepare emits uint8 H when
+    # n_limbs == 1 (the common case) and uint32 otherwise; a uint32
+    # lowering would make the compiled executable reject every 1-limb
+    # call ("Argument types differ") and silently fall back
     ex = _jit_m2a_acc(n_limbs, interp).lower(
-        jax.ShapeDtypeStruct((Q_pad, P_pad), jnp.uint32),
+        jax.ShapeDtypeStruct((Q_pad, P_pad), jnp.dtype(H_all.dtype)),
         jax.ShapeDtypeStruct((P_pad, S_pad), jnp.int8),
         jax.ShapeDtypeStruct((Q_pad, S_pad), jnp.uint32)).compile()
     C = jax.device_put(np.zeros((Q_pad, S_pad), dtype=np.uint32))

@@ -341,14 +341,16 @@ def build_sharded(db: KmerPatternDb, samples, mesh: Mesh) -> KmerPatternDb:
             sk, sv, cv, N_pad, keys[d], ranks[d], vals[d])
         n_valid.append(nv)
 
-    def body(k, r, v):
-        return device_build._merge_dedup_impl(k[0], r[0], v[0])
+    def body(k, r, v, nv):
+        return device_build._merge_dedup_impl(k[0], r[0], v[0], nv[0])
 
     fn = shard_map(
-        lambda k, r, v: tuple(a[None] for a in body(k, r, v)),
-        mesh=mesh, in_specs=(P("shard"), P("shard"), P("shard")),
+        lambda k, r, v, nv: tuple(a[None] for a in body(k, r, v, nv)),
+        mesh=mesh, in_specs=(P("shard"), P("shard"), P("shard"),
+                             P("shard")),
         out_specs=P("shard"))
-    outs = fn(jnp.asarray(keys), jnp.asarray(ranks), jnp.asarray(vals))
+    outs = fn(jnp.asarray(keys), jnp.asarray(ranks), jnp.asarray(vals),
+              jnp.asarray(n_valid, dtype=jnp.int64))
 
     parts = builder._Parts()
     for d in range(D):

@@ -69,3 +69,41 @@ def test_streamed_rows_match_full_matrix():
         db, lambda i, r: rows.__setitem__(i, r.copy()), stripe_rows=128)
     got = np.stack([rows[i] for i in range(db.n_samples)])
     np.testing.assert_array_equal(got, C)
+
+
+def test_device_build_k32_all_set_key():
+    """k = 32 makes the all-set 64-bit key a VALID k-mer, colliding
+    with the device kernel's pad sentinel; the forced group boundary
+    at n_valid must keep it out of the pad run (advisor round-2
+    finding).  Host and device builds must stay bit-identical."""
+    if not native.available:
+        pytest.skip("no native lib")
+    rng = np.random.default_rng(12)
+    top = np.uint64(0xFFFFFFFFFFFFFFFF)
+    samples = []
+    for i in range(6):
+        ks = rng.integers(0, 1 << 62, size=300, dtype=np.uint64)
+        # every sample holds the all-set key plus a near-top cluster
+        ks = np.concatenate([ks, [top, top - np.uint64(1 + i)]])
+        samples.append((f"s{i}", np.unique(ks)))
+
+    def build(device):
+        old = os.environ.get("KMERDB_BUILD_DEVICE")
+        os.environ["KMERDB_BUILD_DEVICE"] = "1" if device else "0"
+        try:
+            db = builder.add_samples(
+                KmerPatternDb(kmer_length=32, fraction=1.0,
+                              alphabet_name="nt"), samples[:3])
+            return builder.add_samples(db, samples[3:])
+        finally:
+            if old is None:
+                del os.environ["KMERDB_BUILD_DEVICE"]
+            else:
+                os.environ["KMERDB_BUILD_DEVICE"] = old
+
+    db_host = build(False)
+    db_dev = build(True)
+    assert np.uint64(top) in db_host.kmers
+    for f in _FIELDS:
+        np.testing.assert_array_equal(getattr(db_host, f),
+                                      getattr(db_dev, f), err_msg=f)

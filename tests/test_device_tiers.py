@@ -107,3 +107,26 @@ def test_n2a_pallas_tier_falls_back(monkeypatch, capsys):
         intersect.many2all_counts(db, queries), host)
     err = capsys.readouterr().err
     assert "new2all tier" in err and "falling back" in err
+
+
+def test_n2a_mosaic_tier_runs_without_fallback(monkeypatch, capsys):
+    """The Mosaic new2all tier must actually RUN (interpret mode
+    off-TPU) for 1-limb inputs, where m2a_prepare emits uint8 hit
+    counts: the executable is lowered with H's real dtype, so no
+    'Argument types differ' fallback warning may appear (advisor
+    round-2 medium finding)."""
+    db = _db(seed=7)
+    rng = np.random.default_rng(8)
+    queries = [np.unique(rng.integers(0, 1 << 36, size=150,
+                                      dtype=np.uint64))
+               for _ in range(3)]
+    host = intersect.many2all_counts(db, queries, use_device=False)
+    H_all, _, n_limbs = intersect.m2a_prepare(db, queries)
+    assert n_limbs == 1 and H_all.dtype == np.uint8, \
+        "corpus must exercise the u8 hit-count layout"
+    monkeypatch.setenv("KMERDB_N2A_DEVICE", "1")
+    monkeypatch.setenv("KMERDB_A2A_PALLAS", "1")
+    np.testing.assert_array_equal(
+        intersect.many2all_counts(db, queries), host)
+    err = capsys.readouterr().err
+    assert "falling back" not in err
