@@ -197,9 +197,14 @@ def _stream_rows(db) -> bool:
     env = os.environ.get("KMERDB_A2A_STREAM", "")
     if env in ("0", "1"):
         return env == "1"
+    # size gate FIRST: on_tpu() initializes the jax backend, and a
+    # small CLI job must never pay that (or hang on a stalled device
+    # service) just to learn it doesn't stream
+    if db.n_samples <= 16384:
+        return False
     from ..ops.pallas_gram import on_tpu
     from ..utils import native
-    return native.available and on_tpu() and db.n_samples > 16384
+    return native.available and on_tpu()
 
 
 def run_all2all_sp(p):

@@ -42,19 +42,16 @@ from ..models.database import KmerPatternDb
 
 #: rows per Pallas Gram call are padded to KT (pallas_gram.KT)
 
-#: measured rig constants (overridable for other hosts); see module doc
-_COST = {
-    "push_Bps":  float(os.environ.get("KMERDB_COST_PUSH_BPS",  1.0e9)),
-    "pull_Bps":  float(os.environ.get("KMERDB_COST_PULL_BPS",  1.0e7)),
-    "dev_flops": float(os.environ.get("KMERDB_COST_DEV_FLOPS", 1.5e13)),
-    "host_rate": float(os.environ.get("KMERDB_COST_HOST_RATE", 2.0e10)),
-    # the scatter kernel drops ~10x once C spills L2/L3 (measured
-    # 2.0e9 adds/s at S=2048 vs ~2e10 cache-resident)
-    "host_rate_big": float(os.environ.get("KMERDB_COST_HOST_RATE_BIG",
-                                          2.0e9)),
-    "fixed_s":   float(os.environ.get("KMERDB_COST_DEV_FIXED_S", 8.0)),
-    "fill_Bps":  float(os.environ.get("KMERDB_COST_FILL_BPS",  2.0e9)),
-}
+def cost() -> dict:
+    """Machine cost constants for the tier dispatch: KMERDB_COST_* env
+    > ~/.cache/kmerdb_tpu/cost.json (the costcal microprobe — the
+    reference's measure-the-machine role, instr_set_detect.h:26-57)
+    > conservative defaults (the round-2 tunneled-rig measurements).
+    host_rate_big reflects the scatter kernel dropping ~10x once C
+    spills L2/L3 (measured 2.0e9 adds/s at S=2048 vs ~2e10
+    cache-resident)."""
+    from . import costcal
+    return costcal.resolve()
 
 #: per-run phase timings of the last device all2all (for bench/MFU)
 last_stats: dict = {}
@@ -78,11 +75,16 @@ def warmup_async() -> None:
         try:
             jax, _ = jax_modules()
             from . import pallas_gram
-            KT, TILE = pallas_gram.KT, pallas_gram.TILE
-            Bp = jax.device_put(np.zeros((KT // 8, TILE), np.uint8))
-            w = jax.device_put(np.zeros((KT, 1), np.uint32))
-            C = jax.device_put(np.zeros((TILE, TILE), np.uint32))
-            C = pallas_gram.gram_u32_pk_tri(Bp, w, C, n_limbs=1)
+            # warm the large-S production geometry (tile choice for
+            # small S differs, but any first Mosaic compile absorbs
+            # the service init either way)
+            engine, kt, tile = _geometry(4096)
+            Bp = jax.device_put(np.zeros((kt // 8, tile), np.uint8))
+            w = jax.device_put(np.zeros((kt, 1), np.uint32))
+            C = jax.device_put(np.zeros((tile, tile), np.uint32))
+            C = pallas_gram.gram_u32_pk_tri(Bp, w, C, n_limbs=1,
+                                            kt=kt, tile=tile,
+                                            engine=engine)
             np.asarray(pallas_gram.tril_tiles(C))
         except Exception:
             pass
@@ -96,57 +98,85 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-def _limb_split(w: np.ndarray):
+def _engine() -> str:
+    """Gram engine: "s8" (7-bit limbs on the int8 MXU, ~219 TFLOPS on
+    the v5e) unless KMERDB_A2A_ENGINE overrides to "bf16" (8-bit
+    limbs, the round-2 body, kept for A/B and as a fallback)."""
+    return os.environ.get("KMERDB_A2A_ENGINE", "s8")
+
+
+def _geometry(S: int, engine: str | None = None):
+    """(engine, kt, tile) for a sample count S.  The s8 engine runs
+    the swept optimum K-block with a padding-aware tile choice; bf16
+    keeps the round-2 geometry."""
+    from . import pallas_gram
+    engine = engine or _engine()
+    if engine == "s8":
+        kt = int(os.environ.get("KMERDB_A2A_KT", pallas_gram.KT_S8))
+        tile = int(os.environ.get("KMERDB_A2A_TILE", 0)) \
+            or pallas_gram.pick_tile(S)
+    else:
+        kt, tile = pallas_gram.KT, pallas_gram.TILE
+    return engine, kt, tile
+
+
+def _limb_split(w: np.ndarray, limb_bits: int = 8):
     """(light_pids, heavy_pids, heavy_limbs): light patterns fit one
-    8-bit limb; heavy patterns are limbed to the heavy-class max."""
-    light_mask = w < 256
+    limb (8-bit for the bf16 engine, 7-bit for s8); heavy patterns are
+    limbed to the heavy-class max."""
+    light_mask = w < (1 << limb_bits)
     light = np.flatnonzero(light_mask).astype(np.int64)
     heavy = np.flatnonzero(~light_mask).astype(np.int64)
     heavy_limbs = 0
     if heavy.size:
-        heavy_limbs = (int(w[heavy].max()).bit_length() + 7) // 8
+        heavy_limbs = -(-int(w[heavy].max()).bit_length() // limb_bits)
     return light, heavy, heavy_limbs
 
 
 def plan_flops(db: KmerPatternDb, s_pad: int | None = None) -> float:
     """MXU FLOPs of the triangle device plan (for cost model / MFU)."""
     from . import pallas_gram
-    S_pad = s_pad or _round_up(max(db.n_samples, 1), pallas_gram.TILE)
+    engine, kt, tile = _geometry(max(db.n_samples, 1))
+    S_pad = s_pad or _round_up(max(db.n_samples, 1), tile)
     w = db.pattern_num_kmers
     if w.size == 0:
         return 0.0
-    light, heavy, hl = _limb_split(w)
-    nt = S_pad // pallas_gram.TILE
+    light, heavy, hl = _limb_split(w, pallas_gram.LIMB_BITS[engine])
+    nt = S_pad // tile
     tri_frac = (nt + 1) / (2 * nt)  # triangle tiles / full grid
-    rows = (_round_up(light.size, pallas_gram.KT)
-            + _round_up(heavy.size, pallas_gram.KT) * hl)
+    rows = (_round_up(light.size, kt)
+            + _round_up(heavy.size, kt) * hl)
     return 2.0 * rows * S_pad * S_pad * tri_frac
 
 
 def device_cost_s(db: KmerPatternDb) -> float:
     """Predicted wall seconds of the device tier (cold process)."""
-    from . import pallas_gram
-    S_pad = _round_up(max(db.n_samples, 1), pallas_gram.TILE)
+    _, _, tile = _geometry(max(db.n_samples, 1))
+    S_pad = _round_up(max(db.n_samples, 1), tile)
     P = db.n_patterns
     packed = float(P) * (S_pad // 8)
     tril = db.n_samples * (db.n_samples + 1) / 2 * 4
-    return (_COST["fixed_s"]
-            + plan_flops(db) / _COST["dev_flops"]
-            + packed / _COST["push_Bps"]
-            + packed / _COST["fill_Bps"]
-            + tril / _COST["pull_Bps"])
+    c = cost()
+    return (c["fixed_s"]
+            + plan_flops(db) / c["dev_flops"]
+            + packed / c["push_Bps"]
+            + packed / c["fill_Bps"]
+            + tril / c["pull_Bps"])
 
 
 def host_cost_s(db: KmerPatternDb) -> float:
     """Predicted wall seconds of the host C++ scatter kernel."""
     lens = np.diff(db.pattern_offsets)
-    rate = (_COST["host_rate"] if db.n_samples <= 1024
-            else _COST["host_rate_big"])
+    c = cost()
+    rate = (c["host_rate"] if db.n_samples <= 1024
+            else c["host_rate_big"])
     return float(np.dot(lens, lens)) / rate
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_group_step(n_limbs: int, interpret: bool = False):
+def _jit_group_step(n_limbs: int, interpret: bool = False,
+                    engine: str = "bf16", kt: int | None = None,
+                    tile: int | None = None):
     """One group update C' = C + Bp-packed triangle Gram, entirely
     inside the Mosaic kernel (bit unpack + limb matmuls + C
     accumulation) — the only XLA wrapping is the pallas custom call,
@@ -159,13 +189,17 @@ def _jit_group_step(n_limbs: int, interpret: bool = False):
 
     def step(C, Bp, w):
         return pallas_gram.gram_u32_pk_tri(Bp, w, C, n_limbs=n_limbs,
-                                           interpret=interpret)
+                                           interpret=interpret,
+                                           kt=kt, tile=tile,
+                                           engine=engine)
 
     return jax.jit(step, donate_argnums=(0,))
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_rows_step(n_limbs: int, interpret: bool = False):
+def _jit_rows_step(n_limbs: int, interpret: bool = False,
+                   engine: str = "bf16", kt: int | None = None,
+                   tile: int | None = None):
     """One (stripe, group) update of the streamed large-S path:
     C_stripe' = C_stripe + stripe rows of the packed Gram.  rt0 is a
     runtime scalar-prefetch arg, so every stripe shares this one
@@ -176,7 +210,9 @@ def _jit_rows_step(n_limbs: int, interpret: bool = False):
     def step(rt0, C, Bp, w):
         return pallas_gram.gram_u32_pk_rows(Bp, w, C, rt0,
                                             n_limbs=n_limbs,
-                                            interpret=interpret)
+                                            interpret=interpret,
+                                            kt=kt, tile=tile,
+                                            engine=engine)
 
     return jax.jit(step, donate_argnums=(1,))
 
@@ -218,14 +254,15 @@ def all2all_device_rows(db: KmerPatternDb, row_handler,
     S = db.n_samples
     if S == 0:
         return
-    TILE, KT = pallas_gram.TILE, pallas_gram.KT
+    engine, KT, TILE = _geometry(S)
     S_pad = _round_up(S, TILE)
     nt = S_pad // TILE
 
     offs = np.ascontiguousarray(db.pattern_offsets, dtype=np.int64)
     sids = np.ascontiguousarray(db.pattern_sample_ids, dtype=np.uint32)
     w = db.pattern_num_kmers
-    light, heavy, heavy_limbs = _limb_split(w)
+    light, heavy, heavy_limbs = _limb_split(
+        w, pallas_gram.LIMB_BITS[engine])
 
     group_bytes = int(os.environ.get("KMERDB_A2A_GROUP_MB", "256")) << 20
     group_rows = max(KT, (group_bytes * 8 // S_pad) // KT * KT)
@@ -241,7 +278,8 @@ def all2all_device_rows(db: KmerPatternDb, row_handler,
     if stripe_rows is None:
         stripe_rows = max(TILE, ((128 << 20) // (S_pad * 4))
                           // TILE * TILE)
-    nrt = min(nt, stripe_rows // TILE)
+    # a sub-tile request still needs one whole kernel tile per stripe
+    nrt = max(1, min(nt, stripe_rows // TILE))
     stripe_rows = nrt * TILE
 
     interp = not pallas_gram.on_tpu()
@@ -250,7 +288,8 @@ def all2all_device_rows(db: KmerPatternDb, row_handler,
     for _, n_limbs, rows in groups:
         key = (n_limbs, rows)
         if key not in execs:
-            execs[key] = _jit_rows_step(n_limbs, interp).lower(
+            execs[key] = _jit_rows_step(n_limbs, interp, engine,
+                                        KT, TILE).lower(
                 jax.ShapeDtypeStruct((1,), jnp.int32),
                 jax.ShapeDtypeStruct((stripe_rows, S_pad), jnp.uint32),
                 jax.ShapeDtypeStruct((rows // 8, S_pad), jnp.uint8),
@@ -283,7 +322,7 @@ def all2all_device_rows(db: KmerPatternDb, row_handler,
         bp = buf[:rows // 8].copy()
         return (jax.device_put(bp),
                 jax.device_put(pallas_gram.pk_weight_order(
-                    wbuf[:rows]).reshape(-1, 1)))
+                    wbuf[:rows], KT).reshape(-1, 1)))
 
     resident_mb = int(os.environ.get("KMERDB_A2A_RESIDENT_MB", "4096"))
     total_packed = sum(rows // 8 * S_pad for _, _, rows in groups)
@@ -321,9 +360,78 @@ def all2all_device_rows(db: KmerPatternDb, row_handler,
     last_stats.update({
         "S": S, "S_pad": S_pad, "n_patterns": int(db.n_patterns),
         "streamed": True, "stripe_rows": stripe_rows,
+        "engine": engine, "kt": KT, "tile": TILE,
         "resident_groups": resident, "flops": flops,
         "compile_s": t_compile, "total_s": time.perf_counter() - t0,
     })
+
+
+def kernel_bench(db: KmerPatternDb, n1: int = 2, n2: int = 6) -> dict:
+    """Isolated Gram-kernel throughput on THIS database's packed
+    incidence, resident on device: chains aliased triangle-Gram calls
+    (C = k(C, Bp, w), device-serialized) and differences the wall time
+    of n2 vs n1 chains to cancel the result pull — the kernel-only
+    TFLOPS/MFU bench (BENCH kernel_tflops; tools/kernel_sweep.py is
+    the synthetic-variant version of the same protocol).  Sync is
+    np.asarray: block_until_ready under-waits through tunneled PJRT
+    transports."""
+    jax, jnp = jax_modules()
+    from . import pallas_gram
+
+    S = db.n_samples
+    engine, KT, TILE = _geometry(S)
+    S_pad = _round_up(S, TILE)
+    w = db.pattern_num_kmers
+    light, heavy, heavy_limbs = _limb_split(
+        w, pallas_gram.LIMB_BITS[engine])
+    interp = not pallas_gram.on_tpu()
+
+    offs = np.ascontiguousarray(db.pattern_offsets, dtype=np.int64)
+    sids = np.ascontiguousarray(db.pattern_sample_ids, dtype=np.uint32)
+    nt = S_pad // TILE
+    tri_frac = (nt + 1) / (2 * nt)
+
+    dev_groups = []
+    flops_per_call = 0.0
+    for pids, n_limbs in ((light, 1), (heavy, heavy_limbs)):
+        if pids.size == 0:
+            continue
+        rows = _round_up(pids.size, KT)
+        buf = np.zeros((rows // 8, S_pad), dtype=np.uint8)
+        wbuf = np.zeros(rows, dtype=np.uint32)
+        _fill_packed(pids, rows, offs, sids, w, buf, wbuf)
+        ex = _jit_group_step(n_limbs, interp, engine, KT, TILE).lower(
+            jax.ShapeDtypeStruct((S_pad, S_pad), jnp.uint32),
+            jax.ShapeDtypeStruct((rows // 8, S_pad), jnp.uint8),
+            jax.ShapeDtypeStruct((rows, 1), jnp.uint32)).compile()
+        dev_groups.append(
+            (ex, jax.device_put(buf),
+             jax.device_put(pallas_gram.pk_weight_order(
+                 wbuf, KT).reshape(-1, 1))))
+        flops_per_call += 2.0 * rows * S_pad * S_pad * tri_frac * n_limbs
+
+    def chain(n):
+        C = jax.device_put(np.zeros((S_pad, S_pad), dtype=np.uint32))
+        t0 = time.perf_counter()
+        for _ in range(n):
+            for ex, Bp, wg in dev_groups:
+                C = ex(C, Bp, wg)
+        np.asarray(C)
+        return time.perf_counter() - t0
+
+    chain(1)                      # absorb any service warm-up stall
+    t1, t2 = chain(n1), chain(n2)
+    per_call = max((t2 - t1) / (n2 - n1), 1e-9)
+    peak = 3.94e14 if engine == "s8" else 1.97e14
+    return {
+        "engine": engine, "kt": KT, "tile": TILE,
+        "kernel_flops_per_pass": flops_per_call,
+        "kernel_s_per_pass": round(per_call, 4),
+        "kernel_tflops": round(flops_per_call / per_call / 1e12, 2),
+        "kernel_mfu_pct": round(
+            flops_per_call / per_call / peak * 100, 2),
+        "mxu_peak_flops": peak,
+    }
 
 
 def all2all_device(db: KmerPatternDb) -> np.ndarray:
@@ -355,13 +463,14 @@ def all2all_device(db: KmerPatternDb) -> np.ndarray:
 def _all2all_device_inner(db, jax, jnp, pallas_gram, native):
     S = db.n_samples
     t0 = time.perf_counter()
-    TILE, KT = pallas_gram.TILE, pallas_gram.KT
+    engine, KT, TILE = _geometry(S)
     S_pad = _round_up(S, TILE)
 
     offs = np.ascontiguousarray(db.pattern_offsets, dtype=np.int64)
     sids = np.ascontiguousarray(db.pattern_sample_ids, dtype=np.uint32)
     w = db.pattern_num_kmers
-    light, heavy, heavy_limbs = _limb_split(w)
+    light, heavy, heavy_limbs = _limb_split(
+        w, pallas_gram.LIMB_BITS[engine])
 
     group_bytes = int(os.environ.get("KMERDB_A2A_GROUP_MB", "256")) << 20
     group_rows = max(KT, (group_bytes * 8 // S_pad) // KT * KT)
@@ -393,7 +502,8 @@ def _all2all_device_inner(db, jax, jnp, pallas_gram, native):
     for _, n_limbs, rows in groups:
         key = (n_limbs, rows)
         if key not in execs:
-            execs[key] = _jit_group_step(n_limbs, interp).lower(
+            execs[key] = _jit_group_step(n_limbs, interp, engine,
+                                         KT, TILE).lower(
                 jax.ShapeDtypeStruct((S_pad, S_pad), jnp.uint32),
                 jax.ShapeDtypeStruct((rows // 8, S_pad), jnp.uint8),
                 jax.ShapeDtypeStruct((rows, 1), jnp.uint32)).compile()
@@ -433,7 +543,7 @@ def _all2all_device_inner(db, jax, jnp, pallas_gram, native):
         # transfer completes on other backends either
         Bp = jax.device_put(buf[:rows // 8].copy())
         wg = jax.device_put(
-            pallas_gram.pk_weight_order(wbuf[:rows]).reshape(-1, 1))
+            pallas_gram.pk_weight_order(wbuf[:rows], KT).reshape(-1, 1))
         tc = time.perf_counter()
         C = execs[(n_limbs, rows)](C, Bp, wg)
         flops += 2.0 * rows * S_pad * S_pad * tri_frac * n_limbs
@@ -450,6 +560,7 @@ def _all2all_device_inner(db, jax, jnp, pallas_gram, native):
         "S": S, "S_pad": S_pad, "n_patterns": int(db.n_patterns),
         "light_patterns": int(light.size), "heavy_patterns": int(heavy.size),
         "heavy_limbs": heavy_limbs, "flops": flops,
+        "engine": engine, "kt": KT, "tile": TILE,
         "warmup_join_s": t_join,
         "compile_s": t_compile, "fill_s": t_fill, "push_s": t_push,
         "compute_pull_s": t2 - t1, "mirror_s": t3 - t2,

@@ -98,13 +98,15 @@ def _gathered_incidence(pids, offs, sids, n_chunks, P_pad, S_pad):
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_cross_acc(n_limbs: int, interpret: bool):
+def _jit_cross_acc(n_limbs: int, interpret: bool, engine: str = "bf16",
+                   kt: int | None = None, tile: int | None = None):
     jax, _ = jax_modules()
     from . import pallas_gram
 
     def step(Up, Vp, w, C):
         return pallas_gram.cross_u32_pk(Up, Vp, w, C, n_limbs=n_limbs,
-                                        interpret=interpret)
+                                        interpret=interpret, kt=kt,
+                                        tile=tile, engine=engine)
 
     return jax.jit(step, donate_argnums=(3,))
 
@@ -117,18 +119,20 @@ def _d2d_device(db_row, db_col, up1, up2, cnts):
     reasons as the all2all tier (ops/device_a2a module doc)."""
     import jax
     from . import pallas_gram
+    from . import device_a2a
     from ..utils import native
     jax, jnp = jax_modules()
-    TILE, KT = pallas_gram.TILE, pallas_gram.KT
     S1, S2 = db_row.n_samples, db_col.n_samples
+    engine, KT, TILE = device_a2a._geometry(min(S1, S2))
     S1_pad = _round_up(S1, TILE)
     S2_pad = _round_up(S2, TILE)
     n_pairs = up1.size
     rows = min(_round_up(max(n_pairs, 1), KT), 8 * _CHUNK)
-    n_limbs = max(1, (int(cnts.max()).bit_length() + 7) // 8)
+    n_limbs = max(1, -(-int(cnts.max()).bit_length()
+                       // pallas_gram.LIMB_BITS[engine]))
 
     interp = not pallas_gram.on_tpu()
-    ex = _jit_cross_acc(n_limbs, interp).lower(
+    ex = _jit_cross_acc(n_limbs, interp, engine, KT, TILE).lower(
         jax.ShapeDtypeStruct((rows // 8, S1_pad), jnp.uint8),
         jax.ShapeDtypeStruct((rows // 8, S2_pad), jnp.uint8),
         jax.ShapeDtypeStruct((rows, 1), jnp.uint32),
@@ -165,7 +169,7 @@ def _d2d_device(db_row, db_col, up1, up2, cnts):
         C = ex(jax.device_put(Ubuf.copy()),
                jax.device_put(Vbuf.copy()),
                jax.device_put(pallas_gram.pk_weight_order(
-                   wbuf).reshape(-1, 1)), C)
+                   wbuf, KT).reshape(-1, 1)), C)
     return np.asarray(C)[:S1, :S2]
 
 
@@ -269,13 +273,14 @@ def all2all_counts(db: KmerPatternDb, chunk: int = _CHUNK) -> np.ndarray:
     sids = db.pattern_sample_ids
     w = db.pattern_num_kmers
 
-    # Tier choice by measured cost model (device_a2a._COST, fitted on
-    # the bench rig): the host C++ scatter has zero startup while the
-    # device tier pays fixed compile/transfer overhead but sustains
-    # MXU-rate FLOPs — so small CLI runs stay on host and large
-    # databases go to the TPU.  KMERDB_A2A_DEVICE=1 forces device,
-    # =0 forces host; KMERDB_A2A_PALLAS=0 selects the legacy XLA limb
-    # scan instead of the packed Pallas tier (warm-process setups).
+    # Tier choice by measured cost model (device_a2a.cost(): env >
+    # the costcal machine calibration cache > rig defaults): the host
+    # C++ scatter has zero startup while the device tier pays fixed
+    # compile/transfer overhead but sustains MXU-rate FLOPs — so small
+    # CLI runs stay on host and large databases go to the TPU.
+    # KMERDB_A2A_DEVICE=1 forces device, =0 forces host;
+    # KMERDB_A2A_PALLAS=0 selects the legacy XLA limb scan instead of
+    # the packed Pallas tier (warm-process setups).
     #
     # The host short-circuit runs BEFORE any jax import: a small CLI
     # job must not pay backend init just to decide it stays on host.
@@ -284,12 +289,17 @@ def all2all_counts(db: KmerPatternDb, chunk: int = _CHUNK) -> np.ndarray:
     device_env = os.environ.get("KMERDB_A2A_DEVICE", "")
     want_device = device_env == "1"
     if not want_device and device_env != "0" and native.available:
-        from .device_a2a import _COST, host_cost_s, device_cost_s
-        if host_cost_s(db) >= _COST["fixed_s"]:
+        from .device_a2a import cost, host_cost_s, device_cost_s
+        if host_cost_s(db) >= cost()["fixed_s"]:
             # big enough that the device might win: consult the full
-            # model (this is the first point that touches jax)
+            # model (this is the first point that touches jax); on a
+            # TPU host with no calibration cache yet, run the one-time
+            # microprobe so the decision uses THIS machine's numbers
             from .pallas_gram import on_tpu
-            want_device = on_tpu() and device_cost_s(db) < host_cost_s(db)
+            if on_tpu():
+                from . import costcal
+                costcal.ensure_calibrated()
+                want_device = device_cost_s(db) < host_cost_s(db)
     if want_device and os.environ.get("KMERDB_A2A_PALLAS") != "0":
         from . import device_a2a
         device_a2a.warmup_async()
@@ -352,7 +362,7 @@ def all2all_counts(db: KmerPatternDb, chunk: int = _CHUNK) -> np.ndarray:
     # Pallas kernels (triangle grid then full grid) for
     # directly-attached TPUs; every tier computes the same exact
     # uint32 result, and any tier failure falls through to the next.
-    if on_tpu() and os.environ.get("KMERDB_A2A_PALLAS") == "1":
+    if os.environ.get("KMERDB_A2A_PALLAS") == "1" and on_tpu():
         from ..utils import log
         for tri in (True, False):
             try:
@@ -453,8 +463,10 @@ def many2all_counts(db: KmerPatternDb, queries: list[np.ndarray],
     Device path: per query the hit pattern histogram is built on the
     host (galloping probe), then sims = H @ B runs as exact-uint32
     MXU contractions over pattern chunks.  Host path: per-query CSR
-    apply.  The device wins when Q * P is large; default heuristic
-    stays on host for CLI-sized work (KMERDB_N2A_DEVICE=1/0 forces).
+    apply.  Tier default = the measured cost model on the shared
+    probe results (both paths pay the probes, so the dispatch sees
+    the EXACT host apply workload before choosing);
+    KMERDB_N2A_DEVICE=1/0 forces.
     """
     import os
     from ..utils import native
@@ -464,12 +476,51 @@ def many2all_counts(db: KmerPatternDb, queries: list[np.ndarray],
         return np.zeros((Q, S), dtype=np.uint32)
 
     env = os.environ.get("KMERDB_N2A_DEVICE", "")
+    probes = None
     if use_device is None:
         use_device = env == "1"
+        if env == "" and db.n_patterns and native.available:
+            # probe first (both tiers pay it; no jax needed), read the
+            # EXACT host apply workload off the probe results, and only
+            # touch jax/on_tpu when host work alone exceeds the fixed
+            # device overhead — a small CLI job must not pay backend
+            # init (or a calibration probe) to learn it stays on host
+            from .device_a2a import cost
+            from . import pallas_gram
+            c = cost()
+            probes = _probe_queries(db, queries)
+            lens = np.diff(db.pattern_offsets)
+            apply_ops = float(sum(
+                lens[hp].sum() for hp, _ in probes[0]))
+            host_s = apply_ops / (c["host_rate"] if S <= 1024
+                                  else c["host_rate_big"])
+            if host_s >= c["fixed_s"]:
+                from .pallas_gram import on_tpu
+                if on_tpu():
+                    from . import costcal
+                    c = costcal.ensure_calibrated()
+                    host_s = apply_ops / (
+                        c["host_rate"] if S <= 1024
+                        else c["host_rate_big"])
+                    TILE, KT = pallas_gram.TILE, pallas_gram.KT
+                    Q_pad = _round_up(Q, TILE)
+                    S_pad = _round_up(S, TILE)
+                    P_pad = _round_up(db.n_patterns, KT)
+                    h_bytes = float(Q_pad) * P_pad * (
+                        1 if probes[1] < 256 else 4)
+                    b_bytes = float(P_pad) * S_pad
+                    flops = 2.0 * Q_pad * P_pad * S_pad
+                    dev_s = (c["fixed_s"]
+                             + (h_bytes + b_bytes) / c["push_Bps"]
+                             + flops / c["dev_flops"]
+                             + Q * S * 4 / c["pull_Bps"])
+                    use_device = dev_s < host_s
     if not use_device or db.n_patterns == 0 or not native.available:
+        if probes is not None:
+            return _m2a_host_apply(db, probes[0], S)
         return np.stack([one2all_counts(db, q) for q in queries])
 
-    H_all, B_all, n_limbs = m2a_prepare(db, queries)
+    H_all, B_all, n_limbs = m2a_prepare(db, queries, probes=probes)
     # Mosaic-first chunk loop on TPU (no XLA dot programs on the hot
     # path — see ops/device_a2a module doc); KMERDB_A2A_PALLAS=0
     # selects the legacy XLA limb scan (warm-process setups), which is
@@ -525,20 +576,12 @@ def _m2a_device_mosaic(H_all, B_all, n_limbs):
     return np.asarray(C)
 
 
-def m2a_prepare(db: KmerPatternDb, queries: list[np.ndarray],
-                q_align: int | None = None):
-    """Host prep for the batched query contraction sims = H @ B.
-
-    Returns (H_all uint32[n_chunks, Q_pad, P_pad] per-chunk hit
-    counts, B_all int8[n_chunks, P_pad, S_pad] incidence blocks,
-    n_limbs).  q_align overrides the Q padding multiple (a mesh shards
-    the query axis)."""
+def _probe_queries(db: KmerPatternDb, queries: list[np.ndarray]):
+    """Galloping-probe every query against the database k-mer array:
+    ([(hit_pids, counts)], max_count) — the shared host stage of BOTH
+    many2all tiers (the dispatch cost model reads the exact apply
+    workload from it before committing to a tier)."""
     from ..utils import native
-    from . import pallas_gram
-    Q = len(queries)
-    S = db.n_samples
-
-    # per-query probes -> (pids, counts), plus global max count
     probes = []
     max_c = 1
     kmers = np.ascontiguousarray(db.kmers)
@@ -550,6 +593,40 @@ def m2a_prepare(db: KmerPatternDb, queries: list[np.ndarray],
         probes.append((hp, cnts))
         if cnts.size:
             max_c = max(max_c, int(cnts.max()))
+    return probes, max_c
+
+
+def _m2a_host_apply(db: KmerPatternDb, probes, S: int) -> np.ndarray:
+    """Host CSR apply of pre-computed probe results (the one2all_counts
+    tail, reusing probes the tier dispatch already paid for)."""
+    from ..utils import native
+    offs = np.ascontiguousarray(db.pattern_offsets, dtype=np.int64)
+    sids = np.ascontiguousarray(db.pattern_sample_ids, dtype=np.uint32)
+    out = np.zeros((len(probes), S), dtype=np.uint32)
+    for i, (hp, cnts) in enumerate(probes):
+        if hp.size:
+            native.csr_apply(np.ascontiguousarray(hp), cnts, offs,
+                             sids, out[i])
+    return out
+
+
+def m2a_prepare(db: KmerPatternDb, queries: list[np.ndarray],
+                q_align: int | None = None, probes=None):
+    """Host prep for the batched query contraction sims = H @ B.
+
+    Returns (H_all uint32[n_chunks, Q_pad, P_pad] per-chunk hit
+    counts, B_all int8[n_chunks, P_pad, S_pad] incidence blocks,
+    n_limbs).  q_align overrides the Q padding multiple (a mesh shards
+    the query axis); probes forwards _probe_queries output when the
+    caller already ran it."""
+    from ..utils import native
+    from . import pallas_gram
+    Q = len(queries)
+    S = db.n_samples
+
+    if probes is None:
+        probes = _probe_queries(db, queries)
+    probes, max_c = probes
     n_limbs = max(1, (max_c.bit_length() + 7) // 8)
 
     offs = db.pattern_offsets
@@ -629,13 +706,50 @@ def db2db_counts(db_row: KmerPatternDb, db_col: KmerPatternDb) -> np.ndarray:
         return C
     up1, up2, cnts = pairs
 
-    # device tier (KMERDB_D2D_DEVICE=1): pattern-pair chunks contracted
-    # on the MXU as C = U^T diag(counts) V via the packed Mosaic cross
-    # kernel.  Off-TPU the Pallas interpreter would emulate the MXU in
-    # software, so the env is honored only on TPU (or with
-    # KMERDB_A2A_PALLAS=1 for the interpret-mode test path).
+    # device tier: pattern-pair chunks contracted on the MXU as
+    # C = U^T diag(counts) V via the packed Mosaic cross kernel.
+    # Dispatch = the measured cost model on the EXACT pair workload
+    # (d2d_pairs already ran, so both sides' work is known);
+    # KMERDB_D2D_DEVICE=1/0 forces.  Off-TPU the Pallas interpreter
+    # would emulate the MXU in software, so the device tier engages
+    # only on TPU (or with KMERDB_A2A_PALLAS=1 for the interpret-mode
+    # test path).
     import os
-    if os.environ.get("KMERDB_D2D_DEVICE") == "1" and native.available:
+    env = os.environ.get("KMERDB_D2D_DEVICE", "")
+    want_device = env == "1"
+    if env == "" and native.available:
+        # exact host work (one |rows| x |cols| scatter per pair) is
+        # known from the pair list alone — compute it BEFORE touching
+        # jax, and only consult on_tpu/calibration when host work
+        # exceeds the fixed device overhead
+        from .device_a2a import cost
+        c = cost()
+        l1 = np.diff(db_row.pattern_offsets)[up1].astype(np.float64)
+        l2 = np.diff(db_col.pattern_offsets)[up2].astype(np.float64)
+        host_ops = float(l1 @ l2)
+
+        def _host_s(cc):
+            return host_ops / (cc["host_rate"] if max(S1, S2) <= 1024
+                               else cc["host_rate_big"])
+
+        if _host_s(c) >= c["fixed_s"]:
+            from .pallas_gram import on_tpu
+            if on_tpu():
+                from . import costcal
+                from .device_a2a import _geometry
+                c = costcal.ensure_calibrated()
+                _, KT, TILE = _geometry(min(S1, S2))
+                S1_pad = _round_up(S1, TILE)
+                S2_pad = _round_up(S2, TILE)
+                rows = _round_up(up1.size, KT)
+                push = rows / 8 * (S1_pad + S2_pad)
+                flops = 2.0 * rows * S1_pad * S2_pad
+                dev_s = (c["fixed_s"] + push / c["push_Bps"]
+                         + push / c["fill_Bps"]
+                         + flops / c["dev_flops"]
+                         + S1 * S2 * 4 / c["pull_Bps"])
+                want_device = dev_s < _host_s(c)
+    if want_device and native.available:
         from .pallas_gram import on_tpu
         if on_tpu() or os.environ.get("KMERDB_A2A_PALLAS") == "1":
             return _d2d_device(db_row, db_col, up1, up2,

@@ -34,6 +34,29 @@ KT = 512
 #: output tile edge (MXU native)
 TILE = 128
 
+#: tuned geometry of the int8 engine (kernel_sweep 2026-08-17 on the
+#: v5e, P=1M S=2048: kt=1024/tile=512 sustains ~219 TFLOPS vs 9 for
+#: the round-2 bf16 kt=512/tile=128 — the fixed ~600 ns/grid-step cost
+#: dominates small tiles, so the lever is more MACs per step)
+KT_S8 = 1024
+TILE_S8 = 512
+
+#: measured isolated-kernel TFLOPS by output tile edge (int8 engine,
+#: kt=1024; used by pick_tile to trade pad waste against tile rate)
+_S8_TILE_TFLOPS = {128: 28.0, 256: 120.0, 512: 219.0}
+
+
+def pick_tile(S: int) -> int:
+    """Output tile edge maximizing measured rate / padding waste for a
+    sample count S (the triangle/rect kernels pad S up to the tile)."""
+    best, best_eff = TILE, 0.0
+    for t, rate in _S8_TILE_TFLOPS.items():
+        s_pad = -(-S // t) * t
+        eff = rate / ((s_pad / max(S, 1)) ** 2)
+        if eff > best_eff:
+            best, best_eff = t, eff
+    return best
+
 
 def on_tpu() -> bool:
     """True when the default JAX device is a TPU chip (including
@@ -179,21 +202,22 @@ def _unpack_pk(bp):
 
 
 def _gram_pk_tri_kernel(it_ref, jt_ref, w_ref, bpi_ref, bpj_ref, c_ref,
-                        out_ref, *, n_limbs):
+                        out_ref, *, n_limbs, engine="bf16"):
     """One (t, k) step of the packed triangle Gram with C accumulation.
 
     c_ref is the running C tile (aliased to out_ref's buffer): the
-    kernel computes out = C_in + sum_k sum_l (Bi*w_l)^T Bj << 8l for
+    kernel computes out = C_in + sum_k sum_l (Bi*w_l)^T Bj << limb for
     this output tile, keeping the whole group update inside one Mosaic
     program — no XLA unpack or accumulate programs (their remote
     compiles are the latency hazard on tunneled TPU rigs)."""
-    _gram_pk_body(pl.program_id(1), w_ref, bpi_ref, bpj_ref, c_ref,
-                  out_ref, n_limbs)
+    _PK_BODIES[engine](pl.program_id(1), w_ref, bpi_ref, bpj_ref, c_ref,
+                       out_ref, n_limbs)
 
 
 def gram_u32_pk_tri(Bp, w, C, *, n_limbs: int,
                     interpret: bool | None = None,
-                    kt: int | None = None, tile: int | None = None):
+                    kt: int | None = None, tile: int | None = None,
+                    engine: str = "bf16"):
     """C + Bp^T-packed triangle Gram, everything in one Mosaic program.
 
     Bp: uint8[P//8, S] bit-packed incidence — bit b of row k is pattern
@@ -204,16 +228,18 @@ def gram_u32_pk_tri(Bp, w, C, *, n_limbs: int,
     tiles pass through C's previous contents.
 
     kt/tile override the K-block and output-tile edges (tuning knobs;
-    exactness needs 255 * kt < 2^24 and S % tile == 0, P % kt == 0;
-    the caller's pk_weight_order must use the same kt).
+    exactness needs 255 * kt < 2^24 for bf16 and S % tile == 0,
+    P % kt == 0; the caller's pk_weight_order must use the same kt).
+    engine picks the limb body: "bf16" (8-bit limbs, f32 MXU) or "s8"
+    (7-bit limbs, int8 MXU — see _gram_pk_body_s8).
 
-    Geometry sweep on the v5e (2026-08-17, P=1M, S=2048, 1 limb):
-    kt 512/1024 x tile 128 sustain ~9 TFLOPS; larger tiles or kt >=
-    2048 spill VMEM (unpack temporaries) and degrade to 4-6; a
-    two-stage variant (separate unpack pass to bf16 in HBM + pure-MXU
-    kernel) measured SLOWER (4-5 TFLOPS) — 16x the DMA per K-step
-    outweighs removing the in-kernel unpack, which is the
-    bits-as-compression argument for this design.
+    Geometry sweeps on the v5e (tools/kernel_sweep.py, 2026-08-17,
+    P=1M, S=2048, 1 limb): the round-2 bf16 kt<=1024 x tile=128 plateau
+    is ~9 TFLOPS set by a fixed ~600 ns/grid-step cost, NOT by the
+    unpack (a two-stage unpacked variant was 16x more DMA and slower);
+    growing the tile amortizes the step cost — bf16 tile=256 hits 65,
+    kt=1024 88; the s8 engine at kt=1024 x tile=512 sustains ~219
+    TFLOPS (56% of the 394-TFLOP int8 MXU peak).
     """
     if interpret is None:
         interpret = not on_tpu()
@@ -238,7 +264,8 @@ def gram_u32_pk_tri(Bp, w, C, *, n_limbs: int,
         out_specs=pl.BlockSpec((tile, tile),
                                lambda t, k, it, jt: (it[t], jt[t])),
     )
-    kernel = functools.partial(_gram_pk_tri_kernel, n_limbs=n_limbs)
+    kernel = functools.partial(_gram_pk_tri_kernel, n_limbs=n_limbs,
+                               engine=engine)
     # 32-bit tracing: see gram_u32 (x64 breaks Mosaic grid plumbing)
     with jax.enable_x64(False):
         return pl.pallas_call(
@@ -259,14 +286,14 @@ def pk_weight_order(w: np.ndarray, kt: int | None = None) -> np.ndarray:
 
 
 def _gram_pk_rect_kernel(rt0_ref, w_ref, bpi_ref, bpj_ref, c_ref,
-                         out_ref, *, n_limbs):
+                         out_ref, *, n_limbs, engine="bf16"):
     """One (i, j, k) step of the row-stripe rectangle grid: the output
     stripe covers global row tiles [rt0, rt0 + nrt); rt0 arrives as a
     scalar-prefetch arg so every stripe of equal geometry shares ONE
     compiled program (compiles are the scarce resource on tunneled
     rigs)."""
-    _gram_pk_body(pl.program_id(2), w_ref, bpi_ref, bpj_ref, c_ref,
-                  out_ref, n_limbs)
+    _PK_BODIES[engine](pl.program_id(2), w_ref, bpi_ref, bpj_ref, c_ref,
+                       out_ref, n_limbs)
 
 
 def _gram_pk_body(k, w_ref, bpi_ref, bpj_ref, c_ref, out_ref, n_limbs):
@@ -290,40 +317,84 @@ def _gram_pk_body(k, w_ref, bpi_ref, bpj_ref, c_ref, out_ref, n_limbs):
     out_ref[:] += acc
 
 
+def _gram_pk_body_s8(k, w_ref, bpi_ref, bpj_ref, c_ref, out_ref,
+                     n_limbs):
+    """int8 engine of the packed Gram step: per 7-bit weight limb the
+    lhs is (bit * w_l) as int8 (products <= 127, K-block partials
+    <= 127 * kt, exact in the MXU's int32 accumulator — no bf16 hop,
+    2x the bf16 MXU rate on v5e) and the rhs is the 0/1 bits as int8.
+    Recombination out += part << 7l in uint32 keeps the reference's
+    num_kmers_t mod-2^32 contract (src/types.h:5-27).  w must be in
+    the same b-major pk_weight_order as the bf16 engine."""
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = c_ref[:]
+
+    w = w_ref[:]
+    b32i = bpi_ref[:].astype(jnp.int32)
+    rows_i = jnp.concatenate([((b32i >> b) & 1) for b in range(8)],
+                             axis=0)                     # (kt, tile) i32
+    b32j = bpj_ref[:].astype(jnp.int32)
+    bj = jnp.concatenate([((b32j >> b) & 1) for b in range(8)],
+                         axis=0).astype(jnp.int8)
+    acc = jnp.zeros(out_ref.shape, jnp.uint32)
+    for l in range(n_limbs):
+        wl = ((w >> np.uint32(7 * l)) & np.uint32(0x7F)).astype(
+            jnp.int32)
+        bi = (rows_i * wl).astype(jnp.int8)
+        part = jax.lax.dot_general(
+            bi, bj, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        acc = acc + (part.astype(jnp.uint32) << np.uint32(7 * l))
+    out_ref[:] += acc
+
+
+_PK_BODIES = {"bf16": _gram_pk_body, "s8": _gram_pk_body_s8}
+
+#: weight bits covered per limb, by engine
+LIMB_BITS = {"bf16": 8, "s8": 7}
+
+
 def gram_u32_pk_rows(Bp, w, C_stripe, rt0: int, *, n_limbs: int,
-                     interpret: bool | None = None):
+                     interpret: bool | None = None,
+                     kt: int | None = None, tile: int | None = None,
+                     engine: str = "bf16"):
     """Row-stripe of the packed Gram: C_stripe + (B^T diag(w) B)[R, :]
     where R covers global row tiles [rt0, rt0 + nrt) — the large-S
     output tiling (stream stripes to the CSV writer; C never fully
     materializes on device).  Bp/w as in gram_u32_pk_tri; C_stripe:
-    uint32[nrt*TILE, S] aliased to the output.  Computes the full
-    rectangle (including j > i cells, discarded by the caller): ~2x
-    the triangle FLOPs buys one shared compiled program for every
-    stripe, which wins whenever compiles cost seconds and the MXU has
-    headroom."""
+    uint32[nrt*tile, S] aliased to the output; rt0 counts tiles of the
+    SAME tile edge.  Computes the full rectangle (including j > i
+    cells, discarded by the caller): ~2x the triangle FLOPs buys one
+    shared compiled program for every stripe, which wins whenever
+    compiles cost seconds and the MXU has headroom.  kt/tile/engine as
+    in gram_u32_pk_tri."""
     if interpret is None:
         interpret = not on_tpu()
+    kt = kt or KT
+    tile = tile or TILE
     Pb, S = Bp.shape
     P = Pb * 8
     R, _ = C_stripe.shape
-    nrt = R // TILE
-    nct = S // TILE
-    KB = KT // 8
+    nrt = R // tile
+    nct = S // tile
+    KB = kt // 8
     rt0_arr = (np.array([rt0], dtype=np.int32)
                if isinstance(rt0, int) else rt0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nrt, nct, P // KT),
+        grid=(nrt, nct, P // kt),
         in_specs=[
-            pl.BlockSpec((KT, 1), lambda i, j, k, rt0: (k, 0)),
-            pl.BlockSpec((KB, TILE), lambda i, j, k, rt0: (k, rt0[0] + i)),
-            pl.BlockSpec((KB, TILE), lambda i, j, k, rt0: (k, j)),
-            pl.BlockSpec((TILE, TILE), lambda i, j, k, rt0: (i, j)),
+            pl.BlockSpec((kt, 1), lambda i, j, k, rt0: (k, 0)),
+            pl.BlockSpec((KB, tile), lambda i, j, k, rt0: (k, rt0[0] + i)),
+            pl.BlockSpec((KB, tile), lambda i, j, k, rt0: (k, j)),
+            pl.BlockSpec((tile, tile), lambda i, j, k, rt0: (i, j)),
         ],
-        out_specs=pl.BlockSpec((TILE, TILE),
+        out_specs=pl.BlockSpec((tile, tile),
                                lambda i, j, k, rt0: (i, j)),
     )
-    kernel = functools.partial(_gram_pk_rect_kernel, n_limbs=n_limbs)
+    kernel = functools.partial(_gram_pk_rect_kernel, n_limbs=n_limbs,
+                               engine=engine)
     # 32-bit tracing: see gram_u32 (x64 breaks Mosaic grid plumbing)
     with jax.enable_x64(False):
         return pl.pallas_call(
@@ -552,45 +623,51 @@ def matmul_u32_acc(H, B, C, *, n_limbs: int,
 
 
 def _cross_pk_kernel(w_ref, bpi_ref, bpj_ref, c_ref, out_ref, *,
-                     n_limbs):
+                     n_limbs, engine="bf16"):
     """(i, j, k) step of the packed cross-database contraction
     C = C_in + U^T diag(w) V (full rectangular grid, U != V)."""
-    _gram_pk_body(pl.program_id(2), w_ref, bpi_ref, bpj_ref, c_ref,
-                  out_ref, n_limbs)
+    _PK_BODIES[engine](pl.program_id(2), w_ref, bpi_ref, bpj_ref, c_ref,
+                       out_ref, n_limbs)
 
 
 def cross_u32_pk(Up, Vp, w, C, *, n_limbs: int,
-                 interpret: bool | None = None):
+                 interpret: bool | None = None,
+                 kt: int | None = None, tile: int | None = None,
+                 engine: str = "bf16"):
     """C + U^T diag(w) V over pattern-axis bit-packed operands — the
     Mosaic db2db kernel (reference db2db_sp,
     similarity_calculator.cpp:1225-1540): rows of Up/Vp pack eight
     pattern-PAIR incidence rows per byte (same layout and b-major
     weight order as gram_u32_pk_tri); C: uint32[S1, S2] aliased to the
-    output."""
+    output.  kt/tile/engine as in gram_u32_pk_tri (S1 and S2 must both
+    be multiples of tile)."""
     if interpret is None:
         interpret = not on_tpu()
+    kt = kt or KT
+    tile = tile or TILE
     Pb, S1 = Up.shape
     S2 = Vp.shape[1]
     P = Pb * 8
-    KB = KT // 8
-    grid = (S1 // TILE, S2 // TILE, P // KT)
-    kernel = functools.partial(_cross_pk_kernel, n_limbs=n_limbs)
+    KB = kt // 8
+    grid = (S1 // tile, S2 // tile, P // kt)
+    kernel = functools.partial(_cross_pk_kernel, n_limbs=n_limbs,
+                               engine=engine)
     # 32-bit tracing: see gram_u32 (x64 breaks Mosaic grid plumbing)
     with jax.enable_x64(False):
         return pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((KT, 1), lambda i, j, k: (k, 0),
+                pl.BlockSpec((kt, 1), lambda i, j, k: (k, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((KB, TILE), lambda i, j, k: (k, i),
+                pl.BlockSpec((KB, tile), lambda i, j, k: (k, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((KB, TILE), lambda i, j, k: (k, j),
+                pl.BlockSpec((KB, tile), lambda i, j, k: (k, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((TILE, TILE), lambda i, j, k: (i, j),
+                pl.BlockSpec((tile, tile), lambda i, j, k: (i, j),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((TILE, TILE), lambda i, j, k: (i, j),
+            out_specs=pl.BlockSpec((tile, tile), lambda i, j, k: (i, j),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((S1, S2), jnp.uint32),
             input_output_aliases={3: 0},

@@ -158,6 +158,125 @@ def test_packed_gram_pk_tri(S, rows, wmax, seed):
                                   .astype(np.uint32))
 
 
+@pytest.mark.parametrize("S,rows,wmax,kt,tile,seed", [
+    (100, 2 * 512, 120, 512, 128, 21),        # 1-limb light class
+    (300, 1024, 16_000_000, 512, 128, 22),    # 4x 7-bit limbs
+    (520, 2048, 120, 1024, 512, 23),          # tuned TPU geometry
+])
+def test_packed_gram_pk_tri_s8(S, rows, wmax, kt, tile, seed):
+    """int8-engine triangle Gram (7-bit limbs, int8 MXU dots) == NumPy
+    oracle — the round-3 production engine (219 TFLOPS on the v5e vs 9
+    for the bf16 body at the round-2 geometry)."""
+    rng = np.random.default_rng(seed)
+    S_pad = -(-S // tile) * tile
+    B = np.zeros((rows, S_pad), dtype=np.uint8)
+    B[:, :S] = (rng.random((rows, S)) < 0.2).astype(np.uint8)
+    w = rng.integers(0, wmax, size=rows).astype(np.uint32)
+    n_limbs = max(1, -(-int(w.max()).bit_length() // 7))
+
+    expect = ((B.astype(np.uint64).T * w.astype(np.uint64)) @
+              B.astype(np.uint64) & 0xFFFFFFFF).astype(np.uint32)[:S, :S]
+
+    Bp = np.zeros((rows // 8, S_pad), dtype=np.uint8)
+    for i in range(rows):
+        Bp[i >> 3] |= B[i] << np.uint8(i & 7)
+    wpk = pallas_gram.pk_weight_order(w, kt).reshape(-1, 1)
+
+    C0 = jnp.zeros((S_pad, S_pad), dtype=jnp.uint32)
+    C = pallas_gram.gram_u32_pk_tri(jnp.asarray(Bp), jnp.asarray(wpk),
+                                    C0, n_limbs=n_limbs, kt=kt,
+                                    tile=tile, engine="s8")
+    C = pallas_gram.gram_u32_pk_tri(jnp.asarray(Bp), jnp.asarray(wpk),
+                                    C, n_limbs=n_limbs, kt=kt,
+                                    tile=tile, engine="s8")
+    got = np.asarray(C)
+    # rebuild the symmetric matrix from the computed lower tile
+    # triangle (tile-granular: diagonal tiles are full)
+    nt = S_pad // tile
+    full = np.empty_like(got)
+    for it in range(nt):
+        for jt in range(it + 1):
+            blk = got[it * tile:(it + 1) * tile,
+                      jt * tile:(jt + 1) * tile]
+            full[it * tile:(it + 1) * tile,
+                 jt * tile:(jt + 1) * tile] = blk
+            if it != jt:
+                full[jt * tile:(jt + 1) * tile,
+                     it * tile:(it + 1) * tile] = blk.T
+    np.testing.assert_array_equal(
+        full[:S, :S], 2 * expect.astype(np.uint64).astype(np.uint32))
+
+
+@pytest.mark.parametrize("engine,kt,tile", [
+    ("bf16", 512, 128), ("s8", 512, 128), ("s8", 1024, 256)])
+def test_packed_gram_pk_rows_engines(engine, kt, tile):
+    """Row-stripe rectangle Gram matches the oracle rows under both
+    engines and non-default geometry (stripe tiles count in units of
+    the kernel tile)."""
+    rng = np.random.default_rng(31)
+    S = 3 * tile
+    rows = 2 * kt
+    B = (rng.random((rows, S)) < 0.15).astype(np.uint8)
+    w = rng.integers(0, 200_000, size=rows).astype(np.uint32)
+    bits = int(w.max()).bit_length()
+    n_limbs = max(1, -(-bits // pallas_gram.LIMB_BITS[engine]))
+
+    expect = ((B.astype(np.uint64).T * w.astype(np.uint64)) @
+              B.astype(np.uint64) & 0xFFFFFFFF).astype(np.uint32)
+
+    Bp = np.zeros((rows // 8, S), dtype=np.uint8)
+    for i in range(rows):
+        Bp[i >> 3] |= B[i] << np.uint8(i & 7)
+    wpk = pallas_gram.pk_weight_order(w, kt).reshape(-1, 1)
+
+    stripe = jnp.zeros((tile, S), dtype=jnp.uint32)
+    out = pallas_gram.gram_u32_pk_rows(
+        jnp.asarray(Bp), jnp.asarray(wpk), stripe, 1, n_limbs=n_limbs,
+        kt=kt, tile=tile, engine=engine)
+    np.testing.assert_array_equal(np.asarray(out),
+                                  expect[tile:2 * tile, :])
+
+
+@pytest.mark.parametrize("engine,kt,tile", [
+    ("bf16", 512, 128), ("s8", 512, 128)])
+def test_cross_pk_engines(engine, kt, tile):
+    """Packed cross-database contraction under both engines."""
+    rng = np.random.default_rng(37)
+    S1, S2 = 2 * tile, tile
+    rows = kt
+    U = (rng.random((rows, S1)) < 0.2).astype(np.uint8)
+    V = (rng.random((rows, S2)) < 0.2).astype(np.uint8)
+    w = rng.integers(0, 60_000, size=rows).astype(np.uint32)
+    bits = int(w.max()).bit_length()
+    n_limbs = max(1, -(-bits // pallas_gram.LIMB_BITS[engine]))
+
+    expect = ((U.astype(np.uint64).T * w.astype(np.uint64)) @
+              V.astype(np.uint64) & 0xFFFFFFFF).astype(np.uint32)
+
+    def pack(M):
+        Mp = np.zeros((rows // 8, M.shape[1]), dtype=np.uint8)
+        for i in range(rows):
+            Mp[i >> 3] |= M[i] << np.uint8(i & 7)
+        return Mp
+
+    wpk = pallas_gram.pk_weight_order(w, kt).reshape(-1, 1)
+    C = pallas_gram.cross_u32_pk(
+        jnp.asarray(pack(U)), jnp.asarray(pack(V)), jnp.asarray(wpk),
+        jnp.zeros((S1, S2), jnp.uint32), n_limbs=n_limbs, kt=kt,
+        tile=tile, engine=engine)
+    np.testing.assert_array_equal(np.asarray(C), expect)
+
+
+def test_pick_tile():
+    """pick_tile trades measured tile rate against padding waste."""
+    assert pallas_gram.pick_tile(4096) == 512
+    assert pallas_gram.pick_tile(2048) == 512
+    # S=136: tile 512 pads 3.8x (rate 219/14.2 eff) vs tile 256
+    # padding 1.9x (120/3.5 -> 33.8 eff) vs 128 at 1.0 eff 28 - > 256
+    assert pallas_gram.pick_tile(136) == 256
+    assert pallas_gram.pick_tile(1) in (128, 256, 512)
+
+
 def test_all2all_device_packed_matches_host():
     """device_a2a.all2all_device (packed streaming tier) == host path,
     covering both limb classes and multiple groups."""
