@@ -33,6 +33,17 @@ def _log(p, *args):
 # build / minhash
 # ---------------------------------------------------------------------------
 
+def _add_batch(db, batch):
+    """One add_samples batch, routed through the k-mer-range-sharded
+    device build when a CLI mesh is active (byte-identical output —
+    tests/test_sharded.py::test_build_sharded_*)."""
+    mesh = _active_mesh()
+    if mesh is not None:
+        from ..parallel import sharded
+        return sharded.build_sharded(db, batch, mesh)
+    return builder.add_samples(db, batch)
+
+
 def run_build(p):
     if len(p.files) != 2:
         raise UsageError(p.mode)
@@ -81,11 +92,11 @@ def run_build(p):
                 "sample minhash fraction differs from database")
         batch.append((s.name, s.kmers))
         if len(batch) >= _BUILD_BATCH:
-            db = builder.add_samples(db, batch)
+            db = _add_batch(db, batch)
             batch = []
     t1 = time.perf_counter()
     if batch or db.n_samples == 0:
-        db = builder.add_samples(db, batch)
+        db = _add_batch(db, batch)
     t2 = time.perf_counter()
     if db.n_samples == 0:
         _log(p, "WARNING: no samples were ingested (check input paths; "
@@ -117,6 +128,13 @@ def run_minhash(p):
 # ---------------------------------------------------------------------------
 # all2all family
 # ---------------------------------------------------------------------------
+
+def _active_mesh():
+    """The CLI-requested device mesh (parallel/runtime), or None for
+    the single-chip tiers."""
+    from ..parallel import runtime
+    return runtime.active_mesh()
+
 
 def _matrix_filter(p, db, query_counts=None):
     qc = db.sample_kmer_counts if query_counts is None else query_counts
@@ -162,8 +180,9 @@ def run_all2all(p):
             else:
                 ofs.write(csvio.dense_row(name, cnt, row))
 
+        mesh = _active_mesh()
         streamed = False
-        if _stream_rows(db):
+        if mesh is None and _stream_rows(db):
             # large-S memory story: C never fully materializes —
             # device row stripes stream straight into the CSV writer
             from ..ops import device_a2a
@@ -180,7 +199,11 @@ def run_all2all(p):
                                               db.sample_names))
                 ofs.write(csvio.totals_row(db.sample_kmer_counts))
         if not streamed:
-            C = intersect.all2all_counts(db)
+            if mesh is not None:
+                from ..parallel import sharded
+                C = sharded.all2all_counts_sharded(db, mesh)
+            else:
+                C = intersect.all2all_counts(db)
             t2 = time.perf_counter()
             log.verbose(f"Similarity matrix computed in {t2 - t1:.3f}s")
             for i in range(db.n_samples):
@@ -215,7 +238,12 @@ def run_all2all_sp(p):
         raise UsageError(p.mode)
     db_filename, out_filename = p.files
     db = dbfile.load_db(db_filename, dbfile.PATTERNS)
-    C = intersect.all2all_counts(db)
+    mesh = _active_mesh()
+    if mesh is not None:
+        from ..parallel import sharded
+        C = sharded.all2all_counts_sharded(db, mesh)
+    else:
+        C = intersect.all2all_counts(db)
     filt = _matrix_filter(p, db)
 
     sampler = None
@@ -272,11 +300,17 @@ def run_new2all(p):
                                       db.sample_names))
         ofs.write(csvio.totals_row(db.sample_kmer_counts))
 
+        mesh = _active_mesh()
+
         def flush(names, queries):
-            # batched contraction (MXU H @ B when KMERDB_N2A_DEVICE=1,
-            # per-query galloping probes otherwise); rows stay in
-            # input order either way
-            M = intersect.many2all_counts(db, queries)
+            # batched contraction (query-sharded over the mesh when
+            # -mesh is active; MXU H @ B / per-query galloping probes
+            # by cost model otherwise); rows stay in input order
+            if mesh is not None:
+                from ..parallel import sharded
+                M = sharded.many2all_counts_sharded(db, queries, mesh)
+            else:
+                M = intersect.many2all_counts(db, queries)
             filt = None
             if p.sparse_out:
                 # one filter for the whole batch (row axis = queries);

@@ -81,6 +81,8 @@ def main(argv=None) -> int:
         from ..utils import log
         log.set_level(log.DEBUG if params.debug
                       else log.VERBOSE if params.verbose else log.NORMAL)
+        from ..parallel import runtime
+        runtime.configure(params.mesh)
         if params.mode == "all2all-parts":
             from .parts import run_all2all_parts
             run_all2all_parts(params)

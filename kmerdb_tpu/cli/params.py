@@ -47,6 +47,7 @@ class Params:
         self.metric_name = ""
         self.verbose = False
         self.debug = False
+        self.mesh = None          # -mesh <n|auto>: device-mesh SPMD
 
 
 def find_switch(args: list[str], name: str) -> bool:
@@ -132,6 +133,10 @@ def parse_args(argv: list[str]) -> Params | None:
     rt = find_option(args, "-rt", int)
     if rt is not None:
         p.num_reader_threads = rt
+    # TPU-native extension: -mesh <n|auto> routes the mode's compute
+    # through a device mesh (the reference's -t reaches its thread
+    # pools the same way, params.cpp:103-108)
+    p.mesh = find_option(args, "-mesh", str)
 
     if p.mode == "build":
         _parse_build(p, args, get_alphabet)

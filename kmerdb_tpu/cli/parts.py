@@ -89,9 +89,16 @@ def run_all2all_parts(p):
 
             # cell matrices of this grid row, keyed by i_col
             cells = {}
+            from .consoles import _active_mesh
+            mesh = _active_mesh()
             for i_col in range(i_row):
                 db_col = get_part(i_col)
-                X = intersect.db2db_counts(db_row, db_col)
+                if mesh is not None:
+                    from ..parallel import sharded
+                    X = sharded.db2db_counts_sharded(db_row, db_col,
+                                                     mesh)
+                else:
+                    X = intersect.db2db_counts(db_row, db_col)
                 filt = CombinedFilter(p.metric_filters, p.kmer_filter,
                                       row_filter_counts,
                                       db_col.sample_kmer_counts, kmer_len)
@@ -103,7 +110,11 @@ def run_all2all_parts(p):
                     cells[i_col] = _filtered_pairs_matrix(X, filt)
 
             # diagonal cell
-            C = intersect.all2all_counts(db_row)
+            if mesh is not None:
+                from ..parallel import sharded
+                C = sharded.all2all_counts_sharded(db_row, mesh)
+            else:
+                C = intersect.all2all_counts(db_row)
             filt = CombinedFilter(p.metric_filters, p.kmer_filter,
                                   row_filter_counts, row_filter_counts,
                                   kmer_len)
