@@ -28,6 +28,48 @@ from ..models.database import KmerPatternDb
 _SUB = 32768
 
 
+def _multiproc() -> bool:
+    return jax.process_count() > 1
+
+
+def _to_global(arr_np, mesh: Mesh, spec):
+    """Full-size host array -> jax.Array laid out per `spec` on the
+    mesh.  Single-process: a plain device array (jit shards it).
+    Multi-process (jax.distributed): each process contributes ONLY its
+    slice along the sharded axis — the host-sharded ingest contract
+    (no host ever materializes another host's device rows on the DCN
+    path) — and host_local_array_to_global_array assembles the global
+    array."""
+    if not _multiproc():
+        return jnp.asarray(arr_np)
+    from jax.experimental import multihost_utils
+    axis = next((i for i, s in enumerate(spec) if s is not None), None)
+    if axis is None:        # replicated operand: same value everywhere
+        return multihost_utils.host_local_array_to_global_array(
+            arr_np, mesh, spec)
+    nproc = jax.process_count()
+    per_proc = arr_np.shape[axis] // nproc
+    pid = jax.process_index()
+    sl = [slice(None)] * arr_np.ndim
+    sl[axis] = slice(pid * per_proc, (pid + 1) * per_proc)
+    return multihost_utils.host_local_array_to_global_array(
+        np.ascontiguousarray(arr_np[tuple(sl)]), mesh, spec)
+
+
+def _collect(x, replicated: bool = True):
+    """Global jax.Array -> full numpy on EVERY process.  Replicated
+    outputs read their local copy; sharded outputs allgather across
+    processes (multihost_utils.process_allgather jits an identity with
+    replicated out-sharding, so the exchange rides the same collective
+    path as the compute)."""
+    if not _multiproc():
+        return np.asarray(x)
+    if replicated:
+        return np.asarray(x.addressable_data(0))
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def _local_gram(B_i8, w_full, n_limbs):
     """Partial C over this device's pattern slice (cf. ops/intersect:
     host-built int8 incidence block, per-limb bf16 MXU contractions).
@@ -123,11 +165,14 @@ def many2all_counts_sharded(db: KmerPatternDb, queries, mesh: Mesh
         # the portable fallback (results identical)
         return intersect.many2all_counts(db, queries, use_device=False)
     D = mesh.devices.size
+    # q_align must also divide by process count under jax.distributed
+    # (each process contributes its query-row slice)
     H_all, B_all, n_limbs = intersect.m2a_prepare(
         db, queries, q_align=D * 8)
-    C = _m2a_sharded(jnp.asarray(H_all), jnp.asarray(B_all),
+    C = _m2a_sharded(_to_global(H_all, mesh, P(None, "shard", None)),
+                     _to_global(B_all, mesh, P()),
                      mesh=mesh, n_limbs=n_limbs)
-    return np.asarray(C)[:Q, :S]
+    return _collect(C, replicated=False)[:Q, :S]
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "n_limbs"))
@@ -203,9 +248,11 @@ def db2db_counts_sharded(db_row: KmerPatternDb, db_col: KmerPatternDb,
             D, sub, P_pad, S2_pad).transpose(1, 0, 2, 3)
     w_all = w_p.reshape(D, sub, P_pad).transpose(1, 0, 2)
     n_limbs = max(1, (int(cnts.max()).bit_length() + 7) // 8)
-    C = _d2d_sharded(jnp.asarray(U_all), jnp.asarray(V_all),
-                     jnp.asarray(w_all), mesh=mesh, n_limbs=n_limbs)
-    return np.asarray(C)[:S1, :S2]
+    C = _d2d_sharded(_to_global(U_all, mesh, P(None, "shard")),
+                     _to_global(V_all, mesh, P(None, "shard")),
+                     _to_global(w_all, mesh, P(None, "shard")),
+                     mesh=mesh, n_limbs=n_limbs)
+    return _collect(C)[:S1, :S2]
 
 
 def extract_sharded(seqs, lengths, k: int, alphabet_name: str, mesh: Mesh,
@@ -222,6 +269,10 @@ def extract_sharded(seqs, lengths, k: int, alphabet_name: str, mesh: Mesh,
 
     fn = shard_map(step, mesh=mesh, in_specs=(P("shard"), P("shard")),
                    out_specs=P("shard"))
+    if _multiproc():
+        out = fn(_to_global(np.asarray(seqs), mesh, P("shard")),
+                 _to_global(np.asarray(lengths), mesh, P("shard")))
+        return _collect(out, replicated=False)
     return fn(seqs, lengths)
 
 
@@ -258,9 +309,10 @@ def all2all_counts_sharded(db: KmerPatternDb, mesh: Mesh) -> np.ndarray:
             B_all[d][rows_d, cols_d] = 1
         w_all[d, :p1 - p0] = w[p0:p1]
 
-    C = _a2a_sharded(jnp.asarray(B_all), jnp.asarray(w_all), mesh=mesh,
+    C = _a2a_sharded(_to_global(B_all, mesh, P("shard")),
+                     _to_global(w_all, mesh, P("shard")), mesh=mesh,
                      n_limbs=n_limbs)
-    return np.asarray(C)
+    return _collect(C)
 
 
 # ---------------------------------------------------------------------------
@@ -349,8 +401,14 @@ def build_sharded(db: KmerPatternDb, samples, mesh: Mesh) -> KmerPatternDb:
         mesh=mesh, in_specs=(P("shard"), P("shard"), P("shard"),
                              P("shard")),
         out_specs=P("shard"))
-    outs = fn(jnp.asarray(keys), jnp.asarray(ranks), jnp.asarray(vals),
-              jnp.asarray(n_valid, dtype=jnp.int64))
+    outs = fn(_to_global(keys, mesh, P("shard")),
+              _to_global(ranks, mesh, P("shard")),
+              _to_global(vals, mesh, P("shard")),
+              _to_global(np.asarray(n_valid, dtype=np.int64), mesh,
+                         P("shard")))
+    # every process assembles the full range set (allgather under
+    # jax.distributed), so the resulting DB is identical everywhere
+    outs = [_collect(o, replicated=False) for o in outs]
 
     parts = builder._Parts()
     for d in range(D):

@@ -6,11 +6,24 @@ Usage: python tools/multihost_worker.py <proc_id> <n_procs> \
 
 Each process owns `devices_per_proc` virtual CPU devices; the
 processes join one jax.distributed runtime (the DCN analogue of a
-multi-host TPU pod) and run the pattern-sharded all2all over the
-GLOBAL mesh: every process fills the incidence rows of its own device
-slice, host-local shards are assembled into a global array, and the
-psum rides the full mesh.  Process 0 checks the replicated result
-against the single-host reference kernel, byte for byte.
+multi-host TPU pod) and run the FULL pipeline over the GLOBAL mesh —
+the same five stages as the single-process dryrun
+(__graft_entry__.dryrun_multichip):
+
+  1. host-sharded k-mer extraction (each process pushes only its own
+     sample slice; parallel/sharded._to_global slices by process)
+  2. k-mer-range-sharded database build (merge + set-hash dedup per
+     range, per-range outputs allgathered so every process assembles
+     the identical DB)
+  3. pattern-sharded all2all with psum merge
+  4. query-sharded batched new2all
+  5. pattern-pair-sharded db2db
+
+Every process asserts byte equality of every stage against the
+single-host reference kernels (SURVEY §5 "Distributed communication
+backend" / §7.2 step 7; the reference has no multi-node story at
+all — its closest analogue is the reader/worker thread pools,
+src/loader_ex.cpp:55-66, lifted to DCN here).
 """
 
 import os
@@ -36,64 +49,89 @@ def main():
     assert init_distributed(), "KMERDB_COORD must select multi-process"
     assert jax.process_count() == nproc
 
-    import jax.numpy as jnp
-    from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
+    from jax.sharding import Mesh
     from kmerdb_tpu.models.database import KmerPatternDb
     from kmerdb_tpu.models import builder
-    from kmerdb_tpu.ops import intersect
+    from kmerdb_tpu.ops import extract, intersect
+    from kmerdb_tpu.ops.alphabet import get_alphabet
+    from kmerdb_tpu.types import KMER_SENTINEL
     from kmerdb_tpu.parallel import sharded
-
-    # identical deterministic database in every process
-    rng = np.random.default_rng(11)
-    pool = rng.integers(0, 1 << 40, size=4000, dtype=np.uint64)
-    samples = []
-    for i in range(3 * nproc * ndev + 1):
-        ks = rng.choice(pool, size=int(rng.integers(100, 900)),
-                        replace=False)
-        samples.append((f"s{i}", np.unique(ks)))
-    db = builder.add_samples(
-        KmerPatternDb(kmer_length=18, fraction=1.0, alphabet_name="nt"),
-        samples)
 
     D = nproc * ndev
     mesh = Mesh(np.array(jax.devices()).reshape(D), ("shard",))
+    assert sharded._multiproc()
 
-    # per-device pattern slices, same layout as all2all_counts_sharded
-    S = db.n_samples
-    offs = db.pattern_offsets
-    el_pid = db.element_pattern_ids()
-    sids = db.pattern_sample_ids
-    w = db.pattern_num_kmers
-    n_limbs = max(1, (int(w.max()).bit_length() + 7) // 8)
-    per_dev = (db.n_patterns + D - 1) // D
-    bounds = [min(db.n_patterns, d * per_dev) for d in range(D + 1)]
+    # deterministic corpus, identical in every process (stands in for
+    # a shared filesystem); mixed lengths + shared ancestry so the
+    # patterns are non-trivial and weights span multiple limbs
+    rng = np.random.default_rng(11)
+    k = 18
+    L = 512
+    n_samp = 2 * D          # divisible by D: even device slices
+    alph = get_alphabet("nt")
+    seqs = np.zeros((n_samp, L), dtype=np.uint8)
+    lengths = np.zeros(n_samp, dtype=np.int32)
+    ancestor = rng.choice(list(b"ACGT"), size=L).astype(np.uint8)
+    for i in range(n_samp):
+        ln = int(rng.integers(150, L))
+        g = ancestor[:ln].copy()
+        pos = rng.integers(0, ln, size=int(ln * 0.05))
+        g[pos] = rng.choice(list(b"ACGT"), size=pos.size).astype(np.uint8)
+        seqs[i, :ln] = g
+        lengths[i] = ln
 
-    # build ONLY this process's device rows (host-sharded ingest of
-    # the incidence: each host touches 1/nproc of the data)
-    local_devs = range(pid * ndev, (pid + 1) * ndev)
-    B_loc = np.zeros((ndev, per_dev, S), dtype=np.int8)
-    w_loc = np.zeros((ndev, per_dev), dtype=np.uint32)
-    for li, d in enumerate(local_devs):
-        p0, p1 = bounds[d], bounds[d + 1]
-        lo, hi = int(offs[p0]), int(offs[p1])
-        B_loc[li][(el_pid[lo:hi] - p0).astype(np.int64),
-                  sids[lo:hi].astype(np.int64)] = 1
-        w_loc[li, :p1 - p0] = w[p0:p1]
+    # stage 1: host-sharded extraction — this process pushes only its
+    # own sample slice; the gathered result must equal host extraction
+    kmer_blocks = np.asarray(sharded.extract_sharded(
+        seqs, lengths, k, "nt", mesh))
+    host_blocks = extract.extract_block_np(seqs, lengths, k, alph)
+    np.testing.assert_array_equal(kmer_blocks, host_blocks)
 
-    from jax.experimental import multihost_utils
-    B_g = multihost_utils.host_local_array_to_global_array(
-        B_loc, mesh, P("shard"))
-    w_g = multihost_utils.host_local_array_to_global_array(
-        w_loc, mesh, P("shard"))
+    samples = []
+    for i in range(n_samp):
+        flat = np.sort(kmer_blocks[i])
+        flat = flat[:np.searchsorted(flat, KMER_SENTINEL)]
+        samples.append((f"s{i}", np.unique(flat)))
 
-    C = sharded._a2a_sharded(B_g, w_g, mesh=mesh, n_limbs=n_limbs)
-    C_local = np.asarray(C.addressable_data(0))
+    # stage 2: k-mer-range-sharded build over the global mesh
+    db = sharded.build_sharded(
+        KmerPatternDb(kmer_length=k, fraction=1.0, alphabet_name="nt"),
+        samples, mesh)
+    db_host = builder.add_samples(
+        KmerPatternDb(kmer_length=k, fraction=1.0, alphabet_name="nt"),
+        samples)
+    np.testing.assert_array_equal(db.kmers, db_host.kmers)
+    np.testing.assert_array_equal(db.kmer_pattern_ids,
+                                  db_host.kmer_pattern_ids)
+    np.testing.assert_array_equal(db.pattern_num_kmers,
+                                  db_host.pattern_num_kmers)
+    np.testing.assert_array_equal(db.pattern_sample_ids,
+                                  db_host.pattern_sample_ids)
 
-    C_ref = intersect.all2all_counts(db)
-    np.testing.assert_array_equal(C_local, C_ref)
+    # stage 3: pattern-sharded all2all (psum over the global mesh)
+    C = sharded.all2all_counts_sharded(db, mesh)
+    np.testing.assert_array_equal(C, intersect.all2all_counts(db))
+
+    # stage 4: query-sharded new2all
+    queries = [ks for _, ks in samples[: D + 1]]
+    M = sharded.many2all_counts_sharded(db, queries, mesh)
+    M_ref = intersect.many2all_counts(db, queries, use_device=False)
+    np.testing.assert_array_equal(M, M_ref)
+
+    # stage 5: pattern-pair-sharded db2db
+    half = n_samp // 2
+    dbA = builder.add_samples(
+        KmerPatternDb(kmer_length=k, fraction=1.0, alphabet_name="nt"),
+        samples[:half])
+    dbB = builder.add_samples(
+        KmerPatternDb(kmer_length=k, fraction=1.0, alphabet_name="nt"),
+        samples[half:])
+    X = sharded.db2db_counts_sharded(dbA, dbB, mesh)
+    np.testing.assert_array_equal(X, intersect.db2db_counts(dbA, dbB))
+
     if pid == 0:
-        print(f"MULTIHOST_OK procs={nproc} devs={D} "
-              f"S={S} P={db.n_patterns}", flush=True)
+        print(f"MULTIHOST_OK procs={nproc} devs={D} stages=5 "
+              f"S={db.n_samples} P={db.n_patterns}", flush=True)
 
 
 if __name__ == "__main__":
