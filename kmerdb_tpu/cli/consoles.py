@@ -142,10 +142,72 @@ def _matrix_filter(p, db, query_counts=None):
                           qc, db.sample_kmer_counts, db.kmer_length)
 
 
+def run_all2all_fused(p):
+    """`all2all -from-fasta <sample-list> <csv>`: the fused
+    ingest->group-Gram pipeline (ops/fused.py) — no database is built,
+    the TPU consumes the merged k-mer groups directly.  Output is
+    byte-identical to `build` + `all2all` over the same list (same
+    header, same counts; C is the same matrix by construction)."""
+    import time
+    from ..utils import log
+    from ..ops import fused
+    if len(p.files) != 2:
+        raise UsageError(p.mode)
+    list_filename, out_filename = p.files
+
+    t0 = time.perf_counter()
+    names, counts, streams = [], [], []
+    kmer_length, fraction = p.kmer_length, p.fraction
+    first = True
+    for s in iter_samples(list_filename, p.input_format, p.kmer_length,
+                          p.fraction, p.fraction_start, p.alphabet_name,
+                          p.multisample_fasta,
+                          num_threads=p.num_threads):
+        if first:
+            kmer_length, fraction = s.kmer_length, s.fraction
+            first = False
+        elif s.kmer_length != kmer_length:
+            raise RuntimeError("sample k-mer length differs")
+        elif s.fraction != fraction:
+            raise RuntimeError("sample minhash fraction differs")
+        names.append(s.name)
+        counts.append(s.kmers.size)
+        streams.append(s.kmers)
+    counts = np.asarray(counts, dtype=np.uint32)
+    log.verbose(f"{len(names)} samples ingested in "
+                f"{time.perf_counter() - t0:.3f}s")
+
+    t1 = time.perf_counter()
+    C = fused.all2all_group_counts(streams)
+    log.verbose(f"Fused group Gram computed in "
+                f"{time.perf_counter() - t1:.3f}s")
+
+    with open(out_filename, "w", newline="") as ofs:
+        ofs.write(csvio.matrix_header(kmer_length, fraction, names))
+        ofs.write(csvio.totals_row(counts))
+        if p.sparse_out:
+            shim = KmerPatternDb(kmer_length=kmer_length,
+                                 fraction=fraction,
+                                 alphabet_name=p.alphabet_name,
+                                 sample_names=names,
+                                 sample_kmer_counts=counts)
+            filt = _matrix_filter(p, shim)
+        for i in range(len(names)):
+            row = C[i, :i]
+            if p.sparse_out:
+                keep = filt.mask_row(row, i)
+                row = np.where(keep, row, 0)
+                ofs.write(csvio.sparse_row(names[i], int(counts[i]), row))
+            else:
+                ofs.write(csvio.dense_row(names[i], int(counts[i]), row))
+
+
 def run_all2all(p):
     import os
     import time
     from ..utils import log
+    if getattr(p, "from_fasta", False):
+        return run_all2all_fused(p)
     if len(p.files) != 2:
         raise UsageError(p.mode)
     db_filename, out_filename = p.files

@@ -48,6 +48,7 @@ class Params:
         self.verbose = False
         self.debug = False
         self.mesh = None          # -mesh <n|auto>: device-mesh SPMD
+        self.from_fasta = False   # all2all -from-fasta: fused pipeline
 
 
 def find_switch(args: list[str], name: str) -> bool:
@@ -209,6 +210,41 @@ def _parse_build(p: Params, args, get_alphabet):
 
 
 def _parse_all2all(p: Params, args):
+    if p.mode == "all2all":
+        # TPU-native extension: `all2all -from-fasta <sample-list>
+        # <csv>` runs the fused ingest->Gram pipeline (ops/fused.py)
+        # without building a database; ingest options mirror build's
+        p.from_fasta = find_switch(args, "-from-fasta")
+        if p.from_fasta:
+            from ..ops.alphabet import get_alphabet
+            kmc = find_switch(args, "-from-kmers")
+            mh = find_switch(args, "-from-minhash")
+            if kmc and mh:
+                raise UsageError(p.mode, "-from-kmers and -from-minhash "
+                                 "switches exclude one another.")
+            if mh:
+                p.input_format = MINHASH
+                p.kmer_length = 0
+            else:
+                f = find_option(args, "-f", float)
+                if f is not None:
+                    p.fraction = f
+                    p.fraction_specified = True
+                fs = find_option(args, "-f-start", float)
+                if fs is not None:
+                    p.fraction_start = fs
+                if kmc:
+                    p.input_format = KMC
+                    p.kmer_length = 0
+                else:
+                    p.multisample_fasta = find_switch(
+                        args, "-multisample-fasta")
+                    p.input_format = GENOME
+                    _apply_alphabet_options(p, args, get_alphabet)
+                    k = find_option(args, "-k", int)
+                    if k is not None:
+                        p.kmer_length = k
+                    _check_kmer_length(p, get_alphabet)
     buf = find_option(args, "-buffer", int)
     if buf is not None and buf > 0:
         p.cache_buffer_mb = buf

@@ -1,0 +1,253 @@
+"""Fused FASTA -> all2all pipeline: the Gram runs over raw k-mer
+GROUPS, skipping the pattern machinery entirely.
+
+The pattern forest (dedup + CSR + serialization) exists to make a
+*database* compact for repeated queries — for a one-shot all2all it is
+pure overhead: C[i,j] = |K_i ∩ K_j| = sum over unique k-mers g of
+[i in g][j in g], i.e. a weight-1 Gram over the group incidence, and
+the groups fall straight out of the ingest merge.  Measured on the
+4,096 x 30 kbp scale corpus, the phases the fused path deletes (pattern
+dedup, 110M-entry CSR fill, varint DB serialization) are ~2/3 of the
+host build (build 10-25 s vs ingest 2.9 s + merge-only 5.2 s), while
+the extra Gram rows it adds (1.82M groups vs 157k patterns) cost ~0.2 s
+on the s8 MXU engine.
+
+Division of labor is deliberate (the hardware mapping, not a
+translation): the HOST owns extraction and the bucketed merge +
+incidence bit-fill — pure byte-shuffling that a TPU scatter cannot
+beat (XLA scatter serializes; the C++ fill writes 123M bits in 0.25 s)
+— and the TPU owns every FLOP (the Gram) plus the packed triangle
+pull.  Weights are identically 1, so the whole plan is one light class
+(n_limbs=1) and ONE weight vector pushed once.
+
+Reference role: `build` + `all2all` chained
+(src/console_build.cpp:48-57 -> src/similarity_calculator.cpp:42-438);
+the reference has no fused mode — this is a TPU-native extension
+(CLI: `all2all -from-fasta <sample-list> <csv>`).
+"""
+
+import functools
+import os
+import time
+
+import numpy as np
+
+from .._jaxinit import jax_modules
+
+#: per-run phase timings of the last fused all2all (for bench)
+last_stats: dict = {}
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _merged_partitions(key_streams):
+    """Yield (merged_vals, gstart, n_groups) per k-mer-range partition
+    of the multiway merge (models/builder.py's partitioning, minus
+    dedup/CSR).  merged_vals[gstart[g]:gstart[g+1]] is group g's
+    ascending sample-id list; values beyond the last group run to
+    merged_vals.size."""
+    from ..models import builder
+    from ..utils import native
+
+    total = int(sum(s.size for s in key_streams))
+    n_parts = max(1, -(-total // builder._PARTITION_ELEMS))
+    edges = builder._partition_edges(key_streams, n_parts)
+    cuts = np.empty((len(key_streams), edges.size + 2), dtype=np.int64)
+    for i, s in enumerate(key_streams):
+        cuts[i, 0] = 0
+        cuts[i, -1] = s.size
+        cuts[i, 1:-1] = np.searchsorted(s, edges, side="left")
+
+    for part in range(edges.size + 1):
+        sliced_k, sliced_v, cvals = [], [], []
+        for i, s in enumerate(key_streams):
+            lo, hi = int(cuts[i, part]), int(cuts[i, part + 1])
+            if hi <= lo:
+                continue
+            sliced_k.append(s[lo:hi])
+            sliced_v.append(None)
+            cvals.append(i)
+        if not sliced_k:
+            continue
+        mv, gk, gstart, glen, h1, h2 = native.merge_groups(
+            sliced_k, sliced_v, cvals, scratch=True)
+        yield mv, gstart, gk.size
+
+
+def _host_group_counts(key_streams) -> np.ndarray:
+    """Host oracle/fallback: the same group formulation through the
+    C++ scatter kernel (weight-1 groups instead of patterns)."""
+    from ..utils import native
+
+    S = len(key_streams)
+    C = np.zeros((S, S), dtype=np.uint32)
+    for mv, gstart, ng in _merged_partitions(key_streams):
+        offs = np.empty(ng + 1, dtype=np.int64)
+        offs[:ng] = gstart[:ng]
+        offs[ng] = mv.size
+        if native.available:
+            C += native.a2a_dense(offs, np.ascontiguousarray(mv),
+                                  np.ones(ng, dtype=np.uint32), S)
+        else:
+            for g in range(ng):
+                ids = mv[offs[g]:offs[g + 1]].astype(np.int64)
+                C[np.ix_(ids, ids)] += 1
+    return C
+
+
+def device_worthwhile(S: int, total_elems: int) -> bool:
+    """Pre-jax tier gate (same contract as the a2a console's: a small
+    CLI job must never pay backend init to learn it loses).  Estimates
+    with the calibrated machine constants (costcal): group count G <=
+    total_elems, mean group length ~S/4 on relatedness-heavy corpora
+    (measured 0.45*S on the scale corpus; unrelated corpora have small
+    total_elems and land on host regardless)."""
+    from .costcal import resolve
+    c = resolve()
+    tile = 512
+    S_pad = _round_up(max(S, 1), tile)
+    # group count between total/S (identical samples) and total
+    # (disjoint samples); total/sqrt(S) matches the measured scale
+    # corpus (123M elements -> 1.82M groups at S=4096)
+    G = max(int(total_elems / max(S, 1) ** 0.5), 1)
+    packed = float(G) * (S_pad // 8)
+    flops = 2.0 * G * S_pad * S_pad * 0.56
+    dev = (c["fixed_s"] + flops / c["dev_flops"]
+           + packed / c["push_Bps"] + packed / c["fill_Bps"]
+           + S * (S + 1) * 2 / c["pull_Bps"])
+    rate = c["host_rate"] if S <= 1024 else c["host_rate_big"]
+    host = float(total_elems) * (S / 4) / rate
+    return dev < host
+
+
+def all2all_group_counts(key_streams, force=None) -> np.ndarray:
+    """uint32[S, S] common-k-mer matrix straight from per-sample
+    sorted-unique k-mer streams (no database is built).
+
+    force: None = cost-modeled tier choice, True = device, False =
+    host (KMERDB_FUSED_DEVICE=1/0 is the env form).
+    """
+    env = os.environ.get("KMERDB_FUSED_DEVICE", "")
+    if force is None and env in ("0", "1"):
+        force = env == "1"
+    if force is False:
+        return _host_group_counts(key_streams)
+    S = len(key_streams)
+    total = int(sum(s.size for s in key_streams))
+    if force is None and not device_worthwhile(S, total):
+        return _host_group_counts(key_streams)
+    from . import pallas_gram
+    if not pallas_gram.on_tpu() and force is not True:
+        return _host_group_counts(key_streams)
+    return _device_group_counts(key_streams)
+
+
+def _device_group_counts(key_streams) -> np.ndarray:
+    jax, jnp = jax_modules()
+    from . import device_a2a, pallas_gram
+    from .device_a2a import cost
+    from ..utils import native
+
+    t_start = time.perf_counter()
+    S = len(key_streams)
+    if S == 0:
+        return np.zeros((0, 0), dtype=np.uint32)
+    engine, KT, TILE = device_a2a._geometry(max(S, 1))
+    S_pad = _round_up(max(S, 1), TILE)
+    if S > 46340:
+        raise ValueError("triangle pack exceeds int32 at S > 46340; "
+                         "use build + the streamed all2all tier")
+
+    # absorb the compile service init while the merge runs
+    device_a2a.warmup_async()
+
+    group_bytes = int(os.environ.get("KMERDB_A2A_GROUP_MB", "256")) << 20
+    group_rows = max(KT, (group_bytes * 8 // S_pad) // KT * KT)
+    # bound by the group count's upper bound (total unique <= total
+    # elements): small corpora must not size (or compile) a scratch
+    # orders beyond their data
+    total_elems = int(sum(s.size for s in key_streams))
+    group_rows = min(group_rows, _round_up(max(total_elems, 1), KT))
+
+    # one compiled program: rows fixed at group_rows, short chunks pad
+    # with zero rows (zero incidence contributes nothing at any weight)
+    tc0 = time.perf_counter()
+    if device_a2a._warmup_thread is not None:
+        device_a2a._warmup_thread.join()
+    interp = not pallas_gram.on_tpu()
+    ex = device_a2a._jit_group_step(1, interp, engine, KT, TILE).lower(
+        jax.ShapeDtypeStruct((S_pad, S_pad), jnp.uint32),
+        jax.ShapeDtypeStruct((group_rows // 8, S_pad), jnp.uint8),
+        jax.ShapeDtypeStruct((group_rows, 1), jnp.uint32)).compile()
+    max_kmers = max((int(s.size) for s in key_streams), default=0)
+    pull_dtype = jnp.uint16 if max_kmers < (1 << 16) else jnp.uint32
+    pack_exec = jax.jit(functools.partial(
+        pallas_gram.tril_tiles, interpret=interp,
+        dtype=pull_dtype)).lower(
+        jax.ShapeDtypeStruct((S_pad, S_pad), jnp.uint32)).compile()
+    t_compile = time.perf_counter() - tc0
+
+    C = jax.device_put(np.zeros((S_pad, S_pad), dtype=np.uint32))
+    # weight-1 rows: one ordered vector shared by every chunk
+    w_dev = jax.device_put(pallas_gram.pk_weight_order(
+        np.ones(group_rows, dtype=np.uint32), KT).reshape(-1, 1))
+    buf = native.alloc_array(group_rows // 8 * S_pad, np.uint8,
+                             populate=False).reshape(group_rows // 8,
+                                                     S_pad) \
+        if native.available else np.zeros((group_rows // 8, S_pad),
+                                          np.uint8)
+
+    t_merge = 0.0
+    t_fill = 0.0
+    t_push = 0.0
+    n_groups = 0
+    flops = 0.0
+    nt = S_pad // TILE
+    tri_frac = (nt + 1) / (2 * nt)
+    tm0 = time.perf_counter()
+    for mv, gstart, ng in _merged_partitions(key_streams):
+        t_merge += time.perf_counter() - tm0
+        n_groups += ng
+        offs = np.empty(ng + 1, dtype=np.int64)
+        offs[:ng] = gstart[:ng]
+        offs[ng] = mv.size
+        mvc = np.ascontiguousarray(mv)
+        for c0 in range(0, ng, group_rows):
+            c1 = min(ng, c0 + group_rows)
+            ta = time.perf_counter()
+            buf[:] = 0  # full wipe: a short final chunk must not keep
+            #             stale rows from the previous full chunk
+            if native.available:
+                native.fill_incidence_bits(
+                    np.arange(c0, c1, dtype=np.int64), offs, mvc, buf)
+            else:
+                for i in range(c0, c1):
+                    cols = mvc[offs[i]:offs[i + 1]]
+                    buf[(i - c0) >> 3, cols] |= np.uint8(1 << ((i - c0) & 7))
+            tb = time.perf_counter()
+            # full-shape copy: the compiled program's Bp shape is fixed
+            # at group_rows (the zeroed tail rows contribute nothing),
+            # and a live view of the reused scratch must never reach
+            # the async device_put (see device_a2a.packed_group)
+            C = ex(C, jax.device_put(buf.copy()), w_dev)
+            flops += 2.0 * group_rows * S_pad * S_pad * tri_frac
+            t_fill += tb - ta
+            t_push += time.perf_counter() - tb
+        tm0 = time.perf_counter()
+
+    t1 = time.perf_counter()
+    tiles = np.asarray(pack_exec(C)).astype(np.uint32, copy=False)
+    t2 = time.perf_counter()
+    out = pallas_gram.untile_symmetric(tiles, S)
+    t3 = time.perf_counter()
+
+    last_stats.update({
+        "S": S, "S_pad": S_pad, "n_groups": n_groups,
+        "engine": engine, "kt": KT, "tile": TILE, "flops": flops,
+        "compile_s": t_compile, "merge_s": t_merge, "fill_s": t_fill,
+        "push_s": t_push, "compute_pull_s": t2 - t1,
+        "mirror_s": t3 - t2, "total_s": t3 - t_start,
+    })
+    return out

@@ -1,0 +1,129 @@
+"""Fused FASTA -> all2all pipeline (ops/fused.py): the group-Gram
+formulation must match the pattern path bit-for-bit, host and device
+tiers alike, and the CLI mode must be byte-identical to build+all2all."""
+
+import os
+import pathlib
+
+import numpy as np
+import pytest
+
+from kmerdb_tpu.models.database import KmerPatternDb
+from kmerdb_tpu.models import builder
+from kmerdb_tpu.ops import fused, intersect
+from kmerdb_tpu.cli.main import main as cli
+
+
+def _rand_streams(rng, n, pool_size=4000, lo=100, hi=900):
+    pool = rng.integers(0, 1 << 40, size=pool_size, dtype=np.uint64)
+    return [np.unique(rng.choice(pool, size=int(rng.integers(lo, hi)),
+                                 replace=False)) for _ in range(n)]
+
+
+@pytest.mark.parametrize("n,seed", [(5, 0), (23, 1), (64, 2)])
+def test_group_counts_match_pattern_path(n, seed):
+    rng = np.random.default_rng(seed)
+    streams = _rand_streams(rng, n)
+    db = builder.add_samples(
+        KmerPatternDb(kmer_length=18, fraction=1.0, alphabet_name="nt"),
+        [(f"s{i}", s) for i, s in enumerate(streams)])
+    want = intersect.all2all_counts(db)
+    got_host = fused._host_group_counts(streams)
+    np.testing.assert_array_equal(got_host, want)
+    got_dev = fused.all2all_group_counts(streams, force=True)
+    np.testing.assert_array_equal(got_dev, want)
+
+
+def test_group_counts_multi_partition(monkeypatch):
+    """Partitioned merge (several k-mer ranges) must stitch into the
+    same matrix as the single-partition result."""
+    from kmerdb_tpu.models import builder as b
+    rng = np.random.default_rng(3)
+    streams = _rand_streams(rng, 16, pool_size=20_000, lo=2000, hi=4000)
+    want = fused._host_group_counts(streams)
+    monkeypatch.setattr(b, "_PARTITION_ELEMS", 4096)
+    got = fused._host_group_counts(streams)
+    np.testing.assert_array_equal(got, want)
+    got_dev = fused.all2all_group_counts(streams, force=True)
+    np.testing.assert_array_equal(got_dev, want)
+
+
+def test_empty_and_single():
+    assert fused.all2all_group_counts([], force=True).shape == (0, 0)
+    s = [np.array([1, 5, 9], dtype=np.uint64)]
+    C = fused.all2all_group_counts(s, force=True)
+    assert C.shape == (1, 1) and C[0, 0] == 3
+
+
+def test_device_worthwhile_gate():
+    """Tiny jobs stay on host (must not pay backend init); huge
+    related collections go to device under TPU-ish constants."""
+    assert not fused.device_worthwhile(8, 4000)
+    os.environ["KMERDB_COST_DEV_FLOPS"] = "2e14"
+    os.environ["KMERDB_COST_DEV_FIXED_S"] = "2"
+    os.environ["KMERDB_COST_PUSH_BPS"] = "1e9"
+    os.environ["KMERDB_COST_PULL_BPS"] = "1e7"
+    try:
+        assert fused.device_worthwhile(4096, 123_000_000)
+    finally:
+        for k in ("KMERDB_COST_DEV_FLOPS", "KMERDB_COST_DEV_FIXED_S",
+                  "KMERDB_COST_PUSH_BPS", "KMERDB_COST_PULL_BPS"):
+            os.environ.pop(k, None)
+
+
+def test_cli_from_fasta_matches_build_all2all(tmp_path, reference_test_dir):
+    """`all2all -from-fasta` == `build` + `all2all` byte-for-byte on
+    the reference synth corpus, dense and sparse+filtered."""
+    lst = reference_test_dir / "synth" / "list.txt"
+    if not lst.exists():
+        # fall back to the virus corpus lists
+        p1 = reference_test_dir / "virus" / "seqs.part1.list"
+        lines = p1.read_text().splitlines()[:12]
+        lst = tmp_path / "list.txt"
+        lst.write_text("".join(
+            str(reference_test_dir.parent / l.lstrip("./")) + "\n"
+            for l in lines if l.strip()))
+    else:
+        lines = [l for l in lst.read_text().splitlines() if l.strip()]
+        lst = tmp_path / "list.txt"
+        lst.write_text("".join(
+            str((reference_test_dir / "synth" / l)) + "\n"
+            for l in lines))
+
+    db = tmp_path / "x.db"
+    ref_csv = tmp_path / "ref.csv"
+    fus_csv = tmp_path / "fus.csv"
+    assert cli(["build", "-k", "15", str(lst), str(db)]) == 0
+    assert cli(["all2all", str(db), str(ref_csv)]) == 0
+    assert cli(["all2all", "-from-fasta", "-k", "15", str(lst),
+                str(fus_csv)]) == 0
+    assert fus_csv.read_bytes() == ref_csv.read_bytes()
+
+    ref_sp = tmp_path / "ref.sp"
+    fus_sp = tmp_path / "fus.sp"
+    assert cli(["all2all", "-sparse", "-min", "2", "-max", "jaccard:0.9",
+                str(db), str(ref_sp)]) == 0
+    assert cli(["all2all", "-from-fasta", "-sparse", "-min", "2",
+                "-max", "jaccard:0.9", "-k", "15", str(lst),
+                str(fus_sp)]) == 0
+    assert fus_sp.read_bytes() == ref_sp.read_bytes()
+
+
+def test_cli_from_fasta_device_forced(tmp_path, reference_test_dir):
+    """The forced device tier (interpret mode off-TPU) produces the
+    same bytes through the CLI."""
+    p1 = reference_test_dir / "virus" / "seqs.part1.list"
+    lines = p1.read_text().splitlines()[:10]
+    lst = tmp_path / "list.txt"
+    lst.write_text("".join(
+        str(reference_test_dir.parent / l.lstrip("./")) + "\n"
+        for l in lines if l.strip()))
+    a = tmp_path / "a.csv"
+    b = tmp_path / "b.csv"
+    assert cli(["all2all", "-from-fasta", str(lst), str(a)]) == 0
+    os.environ["KMERDB_FUSED_DEVICE"] = "1"
+    try:
+        assert cli(["all2all", "-from-fasta", str(lst), str(b)]) == 0
+    finally:
+        del os.environ["KMERDB_FUSED_DEVICE"]
+    assert a.read_bytes() == b.read_bytes()
