@@ -9,6 +9,16 @@ against single-device results.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The axon sitecustomize registers the tunneled TPU plugin whenever
+# PALLAS_AXON_POOL_IPS is set and then REWRITES jax_platforms to
+# "axon,cpu" — so a CPU-only test process still initializes the remote
+# client, and hangs for minutes whenever the shared service stalls
+# (measured 2026-08-17: plain `jax.devices()` held >4 min).  Dropping
+# the variable before jax import keeps the suite service-independent;
+# the compiled-on-hardware tests (test_tpu_hardware.py) spawn their
+# own subprocesses with a clean env and are the only TPU-touching
+# path.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
 import pathlib
 

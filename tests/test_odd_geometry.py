@@ -20,6 +20,7 @@ def test_dryrun_multichip_odd(n_devices):
     samples divide evenly).  Subprocess: the dryrun reconfigures the
     virtual device count, which must happen before backend init."""
     env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)   # no tunnel plugin on CPU
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = \
         f"--xla_force_host_platform_device_count={n_devices}"

@@ -25,8 +25,13 @@ import numpy as np
 
 # the device-build rotation uses jax; pin it to the CPU backend so the
 # soak never rides the tunneled TPU (whose compile/transfer service
-# can stall minutes per fresh process — see ops/device_a2a docs)
+# can stall minutes per fresh process — see ops/device_a2a docs).
+# Dropping PALLAS_AXON_POOL_IPS keeps the axon sitecustomize from
+# registering the remote plugin at all (it rewrites jax_platforms and
+# would stall every case when the service is deaf); hw_check() spawns
+# its own subprocess with the variable intact.
 os.environ["JAX_PLATFORMS"] = "cpu"
+_AXON_POOL = os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
 #: build with tools/build_reference.sh
 REF = os.environ.get("KMERDB_REF_BIN", "/tmp/refbuild/bin/kmer-db")
@@ -209,6 +214,23 @@ def one_case(case, seed):
         ours(["all2all", tmp / "o.db", tmp / "o.a2a"], td)
         cmp_bytes(tmp / "r.a2a", tmp / "o.a2a", f"a2a [{tag}]")
 
+        # fused pipeline (all2all -from-fasta, ops/fused.py) against
+        # the same reference oracle: no database, same bytes.  Only
+        # for plain non-extend builds (the fused mode has no -extend)
+        if not extend and rng.integers(0, 2):
+            fargs0 = ["-k", k]
+            if alpha != "nt":
+                fargs0 += ["-alphabet", alpha]
+            if frac_mode >= 1:
+                fargs0 += ["-f", bargs[bargs.index("-f") + 1]]
+            if frac_mode == 2:
+                fargs0 += ["-f-start", bargs[bargs.index("-f-start") + 1]]
+            if multifasta:
+                fargs0 += ["-multisample-fasta"]
+            ours(["all2all", "-from-fasta", *fargs0, lst, tmp / "o.fa2a"],
+                 td)
+            cmp_bytes(tmp / "r.a2a", tmp / "o.fa2a", f"fused-a2a [{tag}]")
+
         m = METRICS[int(rng.integers(0, len(METRICS)))]
         dargs = [m]
         if rng.integers(0, 2):
@@ -314,6 +336,53 @@ def one_case(case, seed):
     return tag
 
 
+def hw_check() -> str:
+    """One compiled-on-hardware Mosaic mini-case per sweep (VERDICT r2
+    weak #3: a Mosaic regression must not hide behind service stalls).
+    Runs the packed Gram kernel compiled (interpret=False) against a
+    NumPy oracle in a clean subprocess; returns 'yes'/'no-tpu'/
+    'stalled'/'FAILED'.  KMERDB_SOAK_HW=0 disables."""
+    if os.environ.get("KMERDB_SOAK_HW", "1") == "0":
+        return "disabled"
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    if _AXON_POOL is not None:      # restore the tunnel for this probe
+        env["PALLAS_AXON_POOL_IPS"] = _AXON_POOL
+    snippet = """
+import numpy as np, jax.numpy as jnp
+from kmerdb_tpu.ops import pallas_gram as pg
+if not pg.on_tpu():
+    print("NO_TPU"); raise SystemExit
+rng = np.random.default_rng(7)
+P, S = 1024, 256
+B = (rng.random((P, S)) < 0.2).astype(np.int8)
+w = rng.integers(1, 300, size=P).astype(np.uint32)
+ref = (((B.astype(np.uint64).T * w.astype(np.uint64)) @
+        B.astype(np.uint64)) & 0xFFFFFFFF).astype(np.uint32)
+Bp = np.zeros((P // 8, S), dtype=np.uint8)
+for i in range(P):
+    Bp[i >> 3] |= (B[i] << np.uint8(i & 7)).astype(np.uint8)
+C0 = jnp.zeros((S, S), dtype=jnp.uint32)
+C = pg.gram_u32_pk_tri(jnp.asarray(Bp),
+                       jnp.asarray(pg.pk_weight_order(w).reshape(-1, 1)),
+                       C0, n_limbs=2, interpret=False)
+got = pg.untile_symmetric(np.asarray(pg.tril_tiles(C, interpret=False)), S)
+assert np.array_equal(got, ref), "HW KERNEL MISMATCH"
+print("HW_OK")
+"""
+    try:
+        r = subprocess.run([sys.executable, "-c", snippet], env=env,
+                           capture_output=True, text=True, timeout=420)
+    except subprocess.TimeoutExpired:
+        return "stalled"
+    if "HW_OK" in r.stdout:
+        return "yes"
+    if "NO_TPU" in r.stdout:
+        return "no-tpu"
+    return f"FAILED: {r.stderr[-300:]}"
+
+
 def main():
     start = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     count = int(sys.argv[2]) if len(sys.argv) > 2 else 100
@@ -331,8 +400,10 @@ def main():
             traceback.print_exc()
             if fails >= 5:
                 break
+    hw = hw_check()
+    print(f"hardware tier exercised this sweep: {hw}", flush=True)
     print(f"done: {count} cases, {fails} failures", flush=True)
-    return 1 if fails else 0
+    return 1 if fails else 0 if not hw.startswith("FAILED") else 1
 
 
 if __name__ == "__main__":
