@@ -81,6 +81,35 @@ def run_all2all_parts(p):
                     cached_bytes += nb
             return db
 
+        # device grid tier (ops/fused.grid_group_counts): every cell in
+        # one device pass over union-coordinate incidence pushed once
+        # per part — replaces per-cell pair-list pushes.  Cost-model
+        # gated BEFORE any jax touch (headers give the workload);
+        # KMERDB_GRID_DEVICE=1/0 forces.  Holds all parts in host RAM,
+        # so the explicit off-switch also restores the cache budget.
+        from .consoles import _active_mesh
+        mesh = _active_mesh()
+        grid_cells = None
+        genv = os.environ.get("KMERDB_GRID_DEVICE", "")
+        want_grid = genv == "1" or (
+            genv != "0" and mesh is None and len(part_fns) > 1)
+        if want_grid and genv != "1":
+            from ..ops import fused
+            want_grid = fused.device_worthwhile(
+                int(sum(part_sizes)), int(sum(sample_counts)))
+        if want_grid:
+            from ..ops import fused
+            from ..ops.pallas_gram import on_tpu
+            if genv == "1" or on_tpu():
+                from ..utils import log
+                all_parts = [get_part(i) for i in range(len(part_fns))]
+                try:
+                    grid_cells = fused.grid_group_counts(all_parts)
+                except Exception as e:
+                    log.normal(f"WARNING: device grid tier failed, "
+                               f"falling back to per-cell kernels: {e}")
+                    grid_cells = None
+
         for i_row, fn_row in enumerate(part_fns):
             from ..utils import log
             log.verbose(f"grid row {i_row + 1}/{len(part_fns)}")
@@ -89,11 +118,11 @@ def run_all2all_parts(p):
 
             # cell matrices of this grid row, keyed by i_col
             cells = {}
-            from .consoles import _active_mesh
-            mesh = _active_mesh()
             for i_col in range(i_row):
                 db_col = get_part(i_col)
-                if mesh is not None:
+                if grid_cells is not None:
+                    X = grid_cells[(i_row, i_col)]
+                elif mesh is not None:
                     from ..parallel import sharded
                     X = sharded.db2db_counts_sharded(db_row, db_col,
                                                      mesh)
@@ -110,7 +139,9 @@ def run_all2all_parts(p):
                     cells[i_col] = _filtered_pairs_matrix(X, filt)
 
             # diagonal cell
-            if mesh is not None:
+            if grid_cells is not None:
+                C = grid_cells[(i_row, i_row)]
+            elif mesh is not None:
                 from ..parallel import sharded
                 C = sharded.all2all_counts_sharded(db_row, mesh)
             else:

@@ -114,6 +114,9 @@ def _init():
     lib.kmerdb_fill_incidence_bits.restype = None
     lib.kmerdb_fill_incidence_bits.argtypes = [ctypes.c_int64, i64p, i64p,
                                                u32p, ctypes.c_int64, u8p]
+    lib.kmerdb_fill_incidence_bits_rows.restype = None
+    lib.kmerdb_fill_incidence_bits_rows.argtypes = [
+        ctypes.c_int64, i64p, i64p, i64p, u32p, ctypes.c_int64, u8p]
     lib.kmerdb_one2all_probe.restype = ctypes.c_int64
     lib.kmerdb_one2all_probe.argtypes = [ctypes.c_int64, u64p,
                                          ctypes.c_int64, u64p, i32p, i32p]
@@ -506,4 +509,16 @@ def fill_incidence_bits(pids: np.ndarray, offs: np.ndarray,
     _lib.kmerdb_fill_incidence_bits(
         pids.size, _p(pids, _I64P), _p(offs, _I64P), _p(sids, _U32P),
         Bp.shape[1], _p(Bp, _U8P))
+
+
+def fill_incidence_bits_rows(rows: np.ndarray, pids: np.ndarray,
+                             offs: np.ndarray, sids: np.ndarray,
+                             Bp: np.ndarray) -> None:
+    """fill_incidence_bits with explicit packed-row indices: element
+    i's bits land in row rows[i] (bit rows[i] & 7 of byte row
+    rows[i] >> 3) — the parts grid's global union k-mer coordinates,
+    which have gaps where other parts own the k-mer."""
+    _lib.kmerdb_fill_incidence_bits_rows(
+        pids.size, _p(rows, _I64P), _p(pids, _I64P), _p(offs, _I64P),
+        _p(sids, _U32P), Bp.shape[1], _p(Bp, _U8P))
 

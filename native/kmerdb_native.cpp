@@ -595,6 +595,25 @@ void kmerdb_fill_incidence_bits(int64_t n, const int64_t* pids,
     }
 }
 
+// Variant with explicit (non-consecutive) row indices: element i's
+// bits land in packed row rows[i] instead of i.  Used by the parts
+// grid, whose incidence rows are GLOBAL union k-mer coordinates with
+// gaps where other parts own the k-mer.
+void kmerdb_fill_incidence_bits_rows(int64_t n, const int64_t* rows,
+                                     const int64_t* pids,
+                                     const int64_t* offs,
+                                     const uint32_t* sids,
+                                     int64_t row_stride, uint8_t* out) {
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t r = rows[i];
+        uint8_t* row = out + (r >> 3) * row_stride;
+        uint8_t bit = (uint8_t)(1u << (r & 7));
+        int64_t p = pids[i];
+        for (int64_t j = offs[p]; j < offs[p + 1]; ++j)
+            row[sids[j]] |= bit;
+    }
+}
+
 // ---------------------------------------------------------------------------
 // Pattern CSR fill
 // ---------------------------------------------------------------------------

@@ -127,3 +127,84 @@ def test_cli_from_fasta_device_forced(tmp_path, reference_test_dir):
     finally:
         del os.environ["KMERDB_FUSED_DEVICE"]
     assert a.read_bytes() == b.read_bytes()
+
+
+def _parts_dbs(rng, sizes, pool_size=6000):
+    pool = rng.integers(0, 1 << 40, size=pool_size, dtype=np.uint64)
+    core = np.unique(pool[:2500])
+    dbs = []
+    for pi, n in enumerate(sizes):
+        samples = []
+        for i in range(n):
+            extra = np.unique(rng.choice(
+                pool, size=int(rng.integers(60, 500)), replace=False))
+            samples.append((f"p{pi}s{i}", np.unique(
+                np.concatenate([core, extra]))))
+        dbs.append(builder.add_samples(
+            KmerPatternDb(kmer_length=18, fraction=1.0,
+                          alphabet_name="nt"), samples))
+    return dbs
+
+
+def test_grid_group_counts_matches_cell_kernels():
+    """Every grid cell (diagonal + cross, mixed part sizes) equals the
+    per-cell pattern kernels."""
+    rng = np.random.default_rng(7)
+    dbs = _parts_dbs(rng, [9, 5, 12])
+    cells = fused.grid_group_counts(dbs)
+    for i in range(3):
+        np.testing.assert_array_equal(
+            cells[(i, i)], intersect.all2all_counts(dbs[i]),
+            err_msg=f"diag {i}")
+        for j in range(i):
+            np.testing.assert_array_equal(
+                cells[(i, j)], intersect.db2db_counts(dbs[i], dbs[j]),
+                err_msg=f"cross {i},{j}")
+
+
+def test_grid_disjoint_parts():
+    """Disjoint parts: cross cells all zero, diagonals intact."""
+    rng = np.random.default_rng(8)
+    a = _parts_dbs(rng, [4], pool_size=3000)[0]
+    b_samples = [(f"q{i}", np.unique(
+        rng.integers(1 << 41, 1 << 42, size=300, dtype=np.uint64)))
+        for i in range(6)]
+    b = builder.add_samples(
+        KmerPatternDb(kmer_length=18, fraction=1.0, alphabet_name="nt"),
+        b_samples)
+    cells = fused.grid_group_counts([a, b])
+    assert cells[(1, 0)].max() == 0
+    np.testing.assert_array_equal(cells[(0, 0)],
+                                  intersect.all2all_counts(a))
+    np.testing.assert_array_equal(cells[(1, 1)],
+                                  intersect.all2all_counts(b))
+
+
+def test_cli_parts_grid_device(tmp_path, reference_test_dir):
+    """all2all-parts with the forced device grid == the default path,
+    byte-for-byte, including filters."""
+    p1 = reference_test_dir / "virus" / "seqs.part1.list"
+    lines = [l for l in p1.read_text().splitlines() if l.strip()][:18]
+    plists = []
+    for pi in range(3):
+        pl = tmp_path / f"p{pi}.list"
+        pl.write_text("".join(
+            str(reference_test_dir.parent / l.lstrip("./")) + "\n"
+            for l in lines[pi * 6:(pi + 1) * 6]))
+        plists.append(pl)
+    dbl = tmp_path / "dbs.list"
+    entries = []
+    for pi, pl in enumerate(plists):
+        dbp = tmp_path / f"p{pi}.db"
+        assert cli(["build", str(pl), str(dbp)]) == 0
+        entries.append(str(dbp))
+    dbl.write_text("".join(e + "\n" for e in entries))
+    a = tmp_path / "a.pp"
+    b = tmp_path / "b.pp"
+    assert cli(["all2all-parts", "-min", "2", str(dbl), str(a)]) == 0
+    os.environ["KMERDB_GRID_DEVICE"] = "1"
+    try:
+        assert cli(["all2all-parts", "-min", "2", str(dbl), str(b)]) == 0
+    finally:
+        del os.environ["KMERDB_GRID_DEVICE"]
+    assert a.read_bytes() == b.read_bytes()
