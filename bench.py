@@ -141,6 +141,68 @@ def bench_scale(base):
     peak = (V5E_INT8_PEAK if st.get("engine") == "s8"
             else V5E_BF16_PEAK)
 
+    # fused FASTA->all2all pipeline (ops/fused.py): one process, no
+    # database — ingest + merge on host, group Gram on the TPU.  Warm
+    # = second call (programs compiled, service warm, arenas grown)
+    from kmerdb_tpu.ops import fused as fused_mod
+    from kmerdb_tpu.cli import loader
+    tf0 = time.perf_counter()
+    streams = [s.kmers for s in loader.iter_samples(
+        list_path, "genome", 18, 1.0, 0.0, "nt", False)]
+    fused_ingest_s = time.perf_counter() - tf0
+    tf0 = time.perf_counter()
+    C_fused = fused_mod.all2all_group_counts(streams)
+    fused_cold_s = time.perf_counter() - tf0
+    tf0 = time.perf_counter()
+    C_fused = fused_mod.all2all_group_counts(streams)
+    fused_warm_s = time.perf_counter() - tf0
+    assert np.array_equal(C_fused, C_dev), "fused != device pattern path"
+    fused = {
+        "ingest_s": round(fused_ingest_s, 2),
+        "pipeline_cold_s": round(fused_ingest_s + fused_cold_s, 2),
+        "pipeline_warm_s": round(fused_ingest_s + fused_warm_s, 2),
+        "tier": ("device" if fused_mod.last_stats else "host"),
+        "phase_s": {k: round(v, 2)
+                    for k, v in fused_mod.last_stats.items()
+                    if k.endswith("_s")},
+        "n_groups": fused_mod.last_stats.get("n_groups"),
+        "note": ("FASTA list -> all2all CSV matrix in ONE command "
+                 "(all2all -from-fasta), no database built; byte-"
+                 "identical output to build+all2all"),
+    }
+
+    # device build tier (VERDICT r2 item 4): record it even where it
+    # loses, with the losing phase identified
+    dev_build = {}
+    if os.environ.get("KMERDB_BENCH_DEVBUILD", "1") != "0":
+        os.environ["KMERDB_BUILD_DEVICE"] = "1"
+        try:
+            dbd_path = os.path.join(SCALE_DIR, "bench_scale_dev.db")
+            if os.path.exists(dbd_path):
+                os.unlink(dbd_path)
+            t0 = time.perf_counter()
+            rc = cli(["build", list_path, dbd_path])
+            dev_build_s = time.perf_counter() - t0
+            assert rc == 0
+            import filecmp
+            identical = filecmp.cmp(db_path, dbd_path, shallow=False)
+            os.unlink(dbd_path)
+            dev_build = {
+                "build_s": round(dev_build_s, 2),
+                "byte_identical_db": identical,
+                "vs_host_build": round(build_s / dev_build_s, 3),
+                "losing_phase": (
+                    "device->host pull of the merged value stream "
+                    "(~0.5 GB at the tunnel's ~10 MB/s) needed for CSR "
+                    "assembly + DB serialization; on directly-attached "
+                    "hosts the pull is PCIe-speed and the sort/segment "
+                    "work rides HBM"),
+            }
+        except Exception as e:
+            dev_build = {"error": str(e)[:300]}
+        finally:
+            os.environ.pop("KMERDB_BUILD_DEVICE", None)
+
     total_kmers = int(db.sample_kmer_counts.sum())
     return {
         "n_samples": S,
@@ -175,11 +237,80 @@ def bench_scale(base):
         "kernel_tflops": kb["kernel_tflops"],
         "kernel_mfu_pct": kb["kernel_mfu_pct"],
         "kernel_bench": kb,
+        "fused_pipeline": fused,
+        "device_build": dev_build,
         "device_phase_s": {k: round(v, 2) for k, v in st.items()
                            if k.endswith("_s")},
         "ref_build_s": base.get("scale_reference_build_s"),
         "ref_all2all_s": base.get("scale_reference_all2all_s"),
     }
+
+
+def bench_mesh_scaling():
+    """Multi-device scaling curve on a VIRTUAL CPU mesh (the only
+    multi-device geometry this rig offers — one real TPU chip behind a
+    tunnel).  Validates that the same CLI-reachable sharded kernels
+    (-mesh N) execute and agree byte-for-byte at every device count;
+    the wall-clock column is labeled what it is: N virtual devices
+    TIME-SLICING ONE physical core, so it measures sharding overhead,
+    not speedup.  On a real v5e-8 the same code rides ICI."""
+    import hashlib
+    import subprocess
+    import sys
+
+    from kmerdb_tpu.utils.bench_corpus import generate
+    from kmerdb_tpu.cli.main import main as cli
+
+    list_path = generate(CORPUS_DIR)
+    db_path = os.path.join(CORPUS_DIR, "mesh_bench.db")
+    if not os.path.exists(db_path):
+        assert cli(["build", list_path, db_path]) == 0
+
+    snippet = """
+import json, sys, time
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+from jax.sharding import Mesh
+from kmerdb_tpu.io import dbfile
+from kmerdb_tpu.parallel import sharded
+n = int(sys.argv[1])
+db = dbfile.load_db(sys.argv[2], dbfile.PATTERNS)
+mesh = Mesh(np.array(jax.devices()).reshape(n), ("shard",))
+t0 = time.perf_counter(); C = sharded.all2all_counts_sharded(db, mesh)
+cold = time.perf_counter() - t0
+t0 = time.perf_counter(); C = sharded.all2all_counts_sharded(db, mesh)
+warm = time.perf_counter() - t0
+import hashlib
+print(json.dumps({"cold_s": round(cold, 2), "warm_s": round(warm, 2),
+                  "sha": hashlib.sha256(np.ascontiguousarray(C)
+                                        ).hexdigest()[:16]}))
+"""
+    out = {}
+    shas = set()
+    for n in (1, 2, 8):
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)   # no tunnel plugin
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n}"
+        env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__)) \
+            + os.pathsep + env.get("PYTHONPATH", "")
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", snippet, str(n), db_path],
+                env=env, capture_output=True, text=True, timeout=900)
+            row = json.loads(r.stdout.strip().splitlines()[-1])
+            shas.add(row.pop("sha"))
+            out[str(n)] = row
+        except Exception as e:
+            out[str(n)] = {"error": str(e)[:200]}
+    out["byte_identical_across_device_counts"] = len(shas) == 1
+    out["note"] = ("N VIRTUAL CPU devices time-slicing 1 physical "
+                   "core (no multi-chip hardware on this rig): "
+                   "validates the CLI-reachable sharded path at every "
+                   "geometry and bounds its overhead; not a speedup "
+                   "claim")
+    return out
 
 
 def main():
@@ -198,6 +329,9 @@ def main():
                           "effectively single-threaded"),
     }
 
+    if os.environ.get("KMERDB_BENCH_MESH", "1") != "0":
+        detail["mesh_scaling_virtual"] = bench_mesh_scaling()
+
     if os.environ.get("KMERDB_BENCH_SCALE", "1") != "0" and \
             base.get("scale_reference_total_s"):
         scale = bench_scale(base)
@@ -212,6 +346,11 @@ def main():
         detail["vs_baseline_incl_cold_stall"] = round(
             ref_total / (scale["build_s"]
                          + scale["device_all2all_cold_s"]), 4)
+        fw = scale.get("fused_pipeline", {}).get("pipeline_warm_s")
+        if fw:
+            detail["fused_vs_baseline"] = round(ref_total / fw, 2)
+            detail["fused_vs_baseline_16t_projected"] = round(
+                ref_total / fw / 16, 3)
         metric = ("build+all2all kmer instances/s "
                   "(4096x30kbp scale corpus, k=18, device tier)")
     else:
