@@ -141,7 +141,16 @@ def all2all_group_counts(key_streams, force=None) -> np.ndarray:
     from . import pallas_gram
     if not pallas_gram.on_tpu() and force is not True:
         return _host_group_counts(key_streams)
-    return _device_group_counts(key_streams)
+    try:
+        return _device_group_counts(key_streams)
+    except Exception:
+        if force is True:
+            raise
+        from ..utils import log
+        import traceback
+        log.normal("WARNING: fused device tier failed, recomputing on "
+                   "host: " + traceback.format_exc(limit=1).strip())
+        return _host_group_counts(key_streams)
 
 
 def grid_group_counts(dbs) -> dict:
