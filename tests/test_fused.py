@@ -208,3 +208,45 @@ def test_cli_parts_grid_device(tmp_path, reference_test_dir):
     finally:
         del os.environ["KMERDB_GRID_DEVICE"]
     assert a.read_bytes() == b.read_bytes()
+
+
+def test_cli_from_fasta_fraction_and_minhash(tmp_path, reference_test_dir):
+    """-from-fasta with -f (minhash fraction) and with -from-minhash
+    input both match build+all2all byte-for-byte."""
+    p1 = reference_test_dir / "virus" / "seqs.part1.list"
+    lines = [l for l in p1.read_text().splitlines() if l.strip()][:8]
+    paths = [str(reference_test_dir.parent / l.lstrip("./"))
+             for l in lines]
+    lst = tmp_path / "list.txt"
+    lst.write_text("".join(p + "\n" for p in paths))
+
+    db = tmp_path / "f.db"
+    a = tmp_path / "a.csv"
+    b = tmp_path / "b.csv"
+    assert cli(["build", "-k", "16", "-f", "0.3", str(lst), str(db)]) == 0
+    assert cli(["all2all", str(db), str(a)]) == 0
+    assert cli(["all2all", "-from-fasta", "-k", "16", "-f", "0.3",
+                str(lst), str(b)]) == 0
+    assert a.read_bytes() == b.read_bytes()
+
+    # minhash files: build -from-minhash vs fused -from-minhash
+    import shutil
+    mh_dir = tmp_path / "mh"
+    mh_dir.mkdir()
+    mh_paths = []
+    for p in paths:
+        # list entries are extensionless; the loader probes .fasta etc.
+        src = p if os.path.exists(p) else p + ".fasta"
+        shutil.copy(src, mh_dir)
+        mh_paths.append(mh_dir / os.path.basename(p))
+    mh_lst = tmp_path / "mh.list"
+    mh_lst.write_text("".join(str(p) + "\n" for p in mh_paths))
+    assert cli(["minhash", "-k", "16", "-f", "0.3", str(mh_lst)]) == 0
+    db2 = tmp_path / "mh.db"
+    c = tmp_path / "c.csv"
+    d = tmp_path / "d.csv"
+    assert cli(["build", "-from-minhash", str(mh_lst), str(db2)]) == 0
+    assert cli(["all2all", str(db2), str(c)]) == 0
+    assert cli(["all2all", "-from-fasta", "-from-minhash", str(mh_lst),
+                str(d)]) == 0
+    assert c.read_bytes() == d.read_bytes()
