@@ -72,7 +72,7 @@ def _merged_partitions(key_streams):
         if not sliced_k:
             continue
         mv, gk, gstart, glen, h1, h2 = native.merge_groups(
-            sliced_k, sliced_v, cvals, scratch=True)
+            sliced_k, sliced_v, cvals, scratch=True, hashes=False)
         yield mv, gstart, gk.size
 
 

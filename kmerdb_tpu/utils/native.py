@@ -227,7 +227,8 @@ pool = _Pool()
 
 def merge_groups(key_streams: list[np.ndarray],
                  val_streams: list[np.ndarray | None],
-                 const_vals: list[int], scratch: bool = False):
+                 const_vals: list[int], scratch: bool = False,
+                 hashes: bool = True):
     """Fused multiway merge of sorted key streams + per-distinct-key
     content stats.  val_streams[i] may be None (constant const_vals[i]).
 
@@ -236,7 +237,9 @@ def merge_groups(key_streams: list[np.ndarray],
     gstart i64[G], glen u64[G], h1 u64[G], h2 u64[G]).  With
     scratch=True the returned arrays are views into the shared pool
     (valid until the next pooled call) — callers must copy what they
-    keep."""
+    keep.  hashes=False skips the per-element splitmix set-hash pass
+    (h1/h2 return empty) — the fused group-Gram path never reads
+    them."""
     ns = len(key_streams)
     total = int(sum(a.size for a in key_streams))
     _U32P = ctypes.POINTER(ctypes.c_uint32)
@@ -259,26 +262,35 @@ def merge_groups(key_streams: list[np.ndarray],
         group_keys = pool.get("mg_gk", total, np.uint64, populate=False)
         gstart = pool.get("mg_gs", total, np.int64, populate=False)
         glen = pool.get("mg_gl", total, np.uint64, populate=False)
-        h1 = pool.get("mg_h1", total, np.uint64, populate=False)
-        h2 = pool.get("mg_h2", total, np.uint64, populate=False)
+        h1 = pool.get("mg_h1", total, np.uint64, populate=False) \
+            if hashes else None
+        h2 = pool.get("mg_h2", total, np.uint64, populate=False) \
+            if hashes else None
     else:
         merged_vals = np.empty(total, dtype=np.uint32)
         group_keys = np.empty(total, dtype=np.uint64)
         gstart = np.empty(total, dtype=np.int64)
         glen = np.empty(total, dtype=np.uint64)
-        h1 = np.empty(total, dtype=np.uint64)
-        h2 = np.empty(total, dtype=np.uint64)
+        h1 = np.empty(total, dtype=np.uint64) if hashes else None
+        h2 = np.empty(total, dtype=np.uint64) if hashes else None
+    _null64 = ctypes.cast(None, _U64P)
     g = _lib.kmerdb_merge_groups(
         ns, key_ptrs, val_ptrs, _p(cvals, _U32P), _p(lens, _I64P),
         _p(merged_vals, _U32P), _p(group_keys, _U64P), _p(gstart, _I64P),
-        _p(glen, _U64P), _p(h1, _U64P), _p(h2, _U64P))
+        _p(glen, _U64P),
+        _p(h1, _U64P) if hashes else _null64,
+        _p(h2, _U64P) if hashes else _null64)
     if g < 0:
         raise MemoryError("kmerdb_merge_groups: scratch arena mmap failed")
+    empty = np.empty(0, dtype=np.uint64)
     if scratch:
         return (merged_vals, group_keys[:g], gstart[:g], glen[:g],
-                h1[:g], h2[:g])
+                h1[:g] if hashes else empty,
+                h2[:g] if hashes else empty)
     return (merged_vals, group_keys[:g].copy(), gstart[:g].copy(),
-            glen[:g].copy(), h1[:g].copy(), h2[:g].copy())
+            glen[:g].copy(),
+            h1[:g].copy() if hashes else empty,
+            h2[:g].copy() if hashes else empty)
 
 
 def csr_lengths(rep_start: np.ndarray, rep_len: np.ndarray,

@@ -421,22 +421,39 @@ int64_t kmerdb_merge_groups(int32_t n_streams, const uint64_t** keys,
 
         const int64_t out0 = base;
         uint64_t prev_key = ~src_k[0];
-        for (int64_t i = 0; i < bsz; ++i) {
-            const uint64_t k = src_k[i];
-            const uint32_t v = src_v[i];
-            if (k != prev_key) {
-                ++g;
-                group_keys[g] = k;
-                gstart[g] = out0 + i;
-                glen[g] = 0;
-                h1[g] = 0;
-                h2[g] = 0;
-                prev_key = k;
+        if (h1) {
+            for (int64_t i = 0; i < bsz; ++i) {
+                const uint64_t k = src_k[i];
+                const uint32_t v = src_v[i];
+                if (k != prev_key) {
+                    ++g;
+                    group_keys[g] = k;
+                    gstart[g] = out0 + i;
+                    glen[g] = 0;
+                    h1[g] = 0;
+                    h2[g] = 0;
+                    prev_key = k;
+                }
+                merged_vals[out0 + i] = v;
+                glen[g] += 1;
+                h1[g] ^= splitmix(v, 0x9e3779b97f4a7c15ULL);
+                h2[g] += splitmix(v, 0xc2b2ae3d27d4eb4fULL);
             }
-            merged_vals[out0 + i] = v;
-            glen[g] += 1;
-            h1[g] ^= splitmix(v, 0x9e3779b97f4a7c15ULL);
-            h2[g] += splitmix(v, 0xc2b2ae3d27d4eb4fULL);
+        } else {
+            // hash-free stats (the fused group-Gram path never reads
+            // the set hashes: groups are not deduplicated)
+            for (int64_t i = 0; i < bsz; ++i) {
+                const uint64_t k = src_k[i];
+                if (k != prev_key) {
+                    ++g;
+                    group_keys[g] = k;
+                    gstart[g] = out0 + i;
+                    glen[g] = 0;
+                    prev_key = k;
+                }
+                merged_vals[out0 + i] = src_v[i];
+                glen[g] += 1;
+            }
         }
     }
     return g + 1;
