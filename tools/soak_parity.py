@@ -81,6 +81,27 @@ def ours(args, cwd):
         raise RuntimeError(f"ours failed rc={rc}: {args}")
 
 
+def ours_mesh(args, cwd, mesh_n):
+    """Run our CLI with `-mesh N` in a clean subprocess (virtual CPU
+    devices).  Subprocess, not in-process: round-2 case 4107 showed
+    in-process jax init mid-soak can deadlock against the axon
+    sitecustomize, and a child with a timeout can't hang the sweep."""
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env["PYTHONPATH"] = str(pathlib.Path(__file__).resolve().parents[1])
+    mode, rest = args[0], [str(a) for a in args[1:]]
+    r = subprocess.run(
+        [sys.executable, "-m", "kmerdb_tpu", mode, "-mesh", str(mesh_n),
+         *rest],
+        capture_output=True, cwd=cwd, timeout=420, env=env, text=True)
+    if r.returncode != 0:
+        raise RuntimeError(
+            f"ours -mesh {mesh_n} failed rc={r.returncode}: {args}\n"
+            f"{r.stderr[-400:]}")
+
+
 def cmp_bytes(a, b, what):
     ba, bb = pathlib.Path(a).read_bytes(), pathlib.Path(b).read_bytes()
     if ba != bb:
@@ -177,6 +198,11 @@ def one_case(case, seed):
     wrap = int(rng.integers(40, 90))
     frac_mode = int(rng.integers(0, 3))  # 0 plain, 1 -f, 2 -f + -f-start
     extend = bool(rng.integers(0, 2)) and not multifasta
+    # device-mesh rotation: ~1/3 of cases re-run ONE mode with
+    # `-mesh N` over 8 virtual CPU devices (subprocess, see ours_mesh)
+    # and require the same bytes the reference produced.
+    mesh_n = int(rng.choice([0, 0, 2, 3, 8])) if case % 8 != 7 else 0
+    mesh_mode = ["a2a", "sparse", "n2a"][int(rng.integers(0, 3))]
 
     with tempfile.TemporaryDirectory() as td:
         tmp = pathlib.Path(td)
@@ -193,7 +219,8 @@ def one_case(case, seed):
             bargs += ["-multisample-fasta"]
         tag = (f"{alpha} k={k} n={n} len={length} gz={gz} "
                f"mf={multifasta} frac={frac_mode} ext={extend}"
-               f"{' devbuild' if dev_build else ''}")
+               f"{' devbuild' if dev_build else ''}"
+               f"{f' mesh={mesh_n}:{mesh_mode}' if mesh_n else ''}")
 
         if extend:
             lst1 = tmp / "c1.list"
@@ -213,6 +240,10 @@ def one_case(case, seed):
         ref(["all2all", tmp / "r.db", tmp / "r.a2a"], td)
         ours(["all2all", tmp / "o.db", tmp / "o.a2a"], td)
         cmp_bytes(tmp / "r.a2a", tmp / "o.a2a", f"a2a [{tag}]")
+        if mesh_n and mesh_mode == "a2a":
+            ours_mesh(["all2all", tmp / "o.db", tmp / "o.ma2a"], td, mesh_n)
+            cmp_bytes(tmp / "r.a2a", tmp / "o.ma2a",
+                      f"a2a -mesh {mesh_n} [{tag}]")
 
         # fused pipeline (all2all -from-fasta, ops/fused.py) against
         # the same reference oracle: no database, same bytes.  Only
@@ -254,6 +285,11 @@ def one_case(case, seed):
         ref(["all2all", "-sparse", *fargs, tmp / "r.db", tmp / "r.sp"], td)
         ours(["all2all", "-sparse", *fargs, tmp / "o.db", tmp / "o.sp"], td)
         cmp_bytes(tmp / "r.sp", tmp / "o.sp", f"a2a sparse {fargs} [{tag}]")
+        if mesh_n and mesh_mode == "sparse":
+            ours_mesh(["all2all", "-sparse", *fargs, tmp / "o.db",
+                       tmp / "o.msp"], td, mesh_n)
+            cmp_bytes(tmp / "r.sp", tmp / "o.msp",
+                      f"a2a sparse -mesh {mesh_n} {fargs} [{tag}]")
 
         # distance over SPARSE input (triangle autodetect + sparse out)
         m2 = METRICS[int(rng.integers(0, len(METRICS)))]
@@ -285,6 +321,11 @@ def one_case(case, seed):
         ref(["new2all", *nargs, *sp, tmp / "r.db", qlst, tmp / "r.n2a"], td)
         ours(["new2all", *nargs, *sp, tmp / "o.db", qlst, tmp / "o.n2a"], td)
         cmp_bytes(tmp / "r.n2a", tmp / "o.n2a", f"new2all {sp} [{tag}]")
+        if mesh_n and mesh_mode == "n2a":
+            ours_mesh(["new2all", *nargs, *sp, tmp / "o.db", qlst,
+                       tmp / "o.mn2a"], td, mesh_n)
+            cmp_bytes(tmp / "r.n2a", tmp / "o.mn2a",
+                      f"new2all -mesh {mesh_n} {sp} [{tag}]")
 
         if not multifasta:
             ref(["one2all", tmp / "r.db", q, tmp / "r.o2a"], td)
