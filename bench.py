@@ -136,8 +136,14 @@ def bench_scale(base):
 
     # kernel-only throughput on this database's resident packed
     # incidence (VERDICT r2 item 1's first-class metric): chained
-    # aliased calls, pull cost differenced out
-    kb = device_a2a.kernel_bench(db)
+    # aliased calls, pull cost differenced out.  Degrades to a
+    # recorded error (off-TPU, deaf service, OOM) like every other
+    # section — the bench line must always print.
+    try:
+        kb = device_a2a.kernel_bench(db)
+    except Exception as e:
+        kb = {"error": str(e)[:300],
+              "kernel_tflops": None, "kernel_mfu_pct": None}
     peak = (V5E_INT8_PEAK if st.get("engine") == "s8"
             else V5E_BF16_PEAK)
 
@@ -336,11 +342,19 @@ def main():
     }
 
     if os.environ.get("KMERDB_BENCH_MESH", "1") != "0":
-        detail["mesh_scaling_virtual"] = bench_mesh_scaling()
+        try:
+            detail["mesh_scaling_virtual"] = bench_mesh_scaling()
+        except Exception as e:
+            detail["mesh_scaling_virtual"] = {"error": str(e)[:300]}
 
+    scale = None
     if os.environ.get("KMERDB_BENCH_SCALE", "1") != "0" and \
             base.get("scale_reference_total_s"):
-        scale = bench_scale(base)
+        try:
+            scale = bench_scale(base)
+        except Exception as e:
+            detail["scale_error"] = str(e)[:300]
+    if scale is not None:
         detail["scale"] = scale
         # steady-state pipeline: warm-build + warm device all2all; the
         # rig's first-pass service stall is reported separately above

@@ -142,6 +142,19 @@ def _matrix_filter(p, db, query_counts=None):
                           qc, db.sample_kmer_counts, db.kmer_length)
 
 
+def _emit_matrix_row(ofs, name, cnt, row, i, filt):
+    """One all2all CSV body row (dense, or filter-masked sparse).  The
+    single home of the row byte format: run_all2all's emit and the
+    fused console both delegate here so `all2all` and `all2all
+    -from-fasta` can never drift apart."""
+    if filt is not None:
+        keep = filt.mask_row(row, i)
+        row = np.where(keep, row, 0)
+        ofs.write(csvio.sparse_row(name, cnt, row))
+    else:
+        ofs.write(csvio.dense_row(name, cnt, row))
+
+
 def run_all2all_fused(p):
     """`all2all -from-fasta <sample-list> <csv>`: the fused
     ingest->group-Gram pipeline (ops/fused.py) — no database is built,
@@ -185,6 +198,7 @@ def run_all2all_fused(p):
     with open(out_filename, "w", newline="") as ofs:
         ofs.write(csvio.matrix_header(kmer_length, fraction, names))
         ofs.write(csvio.totals_row(counts))
+        filt = None
         if p.sparse_out:
             shim = KmerPatternDb(kmer_length=kmer_length,
                                  fraction=fraction,
@@ -193,13 +207,8 @@ def run_all2all_fused(p):
                                  sample_kmer_counts=counts)
             filt = _matrix_filter(p, shim)
         for i in range(len(names)):
-            row = C[i, :i]
-            if p.sparse_out:
-                keep = filt.mask_row(row, i)
-                row = np.where(keep, row, 0)
-                ofs.write(csvio.sparse_row(names[i], int(counts[i]), row))
-            else:
-                ofs.write(csvio.dense_row(names[i], int(counts[i]), row))
+            _emit_matrix_row(ofs, names[i], int(counts[i]), C[i, :i],
+                             i, filt)
 
 
 def run_all2all(p):
@@ -232,15 +241,9 @@ def run_all2all(p):
         filt = _matrix_filter(p, db) if p.sparse_out else None
 
         def emit(i, full_row):
-            row = full_row[:i]
-            name = db.sample_names[i]
-            cnt = int(db.sample_kmer_counts[i])
-            if p.sparse_out:
-                keep = filt.mask_row(row, i)
-                row = np.where(keep, row, 0)
-                ofs.write(csvio.sparse_row(name, cnt, row))
-            else:
-                ofs.write(csvio.dense_row(name, cnt, row))
+            _emit_matrix_row(ofs, db.sample_names[i],
+                             int(db.sample_kmer_counts[i]),
+                             full_row[:i], i, filt)
 
         mesh = _active_mesh()
         streamed = False

@@ -133,6 +133,22 @@ def _partition_edges(key_streams: list[np.ndarray], n_parts: int) -> np.ndarray:
     return np.unique(sample[idx])
 
 
+def _partition_cuts(key_streams: list[np.ndarray],
+                    edges: np.ndarray) -> np.ndarray:
+    """cuts[i, p]:cuts[i, p+1] = stream i's slice for partition p of
+    the `edges` ranges (side='left': keys equal to an edge open the
+    NEXT partition, so a k-mer group never straddles two partitions).
+    Single source of truth for the merge partitioning — add_samples,
+    sharded.build_sharded and fused._merged_partitions must slice the
+    streams identically or their byte-parity contracts diverge."""
+    cuts = np.empty((len(key_streams), edges.size + 2), dtype=np.int64)
+    for i, s in enumerate(key_streams):
+        cuts[i, 0] = 0
+        cuts[i, -1] = s.size
+        cuts[i, 1:-1] = np.searchsorted(s, edges, side="left")
+    return cuts
+
+
 def add_samples(db: KmerPatternDb,
                 samples: list[tuple[str, np.ndarray]]) -> KmerPatternDb:
     """Add a batch of (name, sorted-unique-kmer-array) samples.
@@ -170,11 +186,7 @@ def add_samples(db: KmerPatternDb,
                     | db.kmer_pattern_ids.astype(np.uint32))
         n_parts = max(1, -(-total // _PARTITION_ELEMS))
         edges = _partition_edges(key_streams, n_parts)
-        cuts = np.empty((len(key_streams), edges.size + 2), dtype=np.int64)
-        for i, s in enumerate(key_streams):
-            cuts[i, 0] = 0
-            cuts[i, -1] = s.size
-            cuts[i, 1:-1] = np.searchsorted(s, edges, side="left")
+        cuts = _partition_cuts(key_streams, edges)
 
         parts = _Parts()
         for part in range(edges.size + 1):

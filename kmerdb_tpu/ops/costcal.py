@@ -31,7 +31,7 @@ import numpy as np
 DEFAULTS = {
     "push_Bps": 1.0e9,
     "pull_Bps": 1.0e7,
-    "dev_flops": 5.0e13,
+    "dev_flops": 1.5e13,
     "host_rate": 2.0e10,
     "host_rate_big": 2.0e9,
     "fixed_s": 8.0,
@@ -70,9 +70,29 @@ def _load_cache() -> dict | None:
     return None
 
 
+#: memo for resolve(): (env values + cache-file stat) -> constants.
+#: The dispatch calls resolve() per cost decision — O(P^2) times in a
+#: parts grid — and the constants can only change via env (keyed) or a
+#: cache rewrite (stat-keyed), so re-reading the file each time is
+#: pure waste on the 1-vCPU host.
+_memo: tuple | None = None
+
+
 def resolve() -> dict:
     """Effective cost constants: env > cache > defaults.  Never runs
     probes (call calibrate() for that)."""
+    global _memo
+    env_vals = tuple(os.environ.get(e) for e in _ENV.values())
+    env_vals += (os.environ.get("KMERDB_COST_CACHE_DIR"),
+                 os.environ.get("XDG_CACHE_HOME"))
+    try:
+        st = cache_path().stat()
+        stamp = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        stamp = None
+    key = (env_vals, stamp)
+    if _memo is not None and _memo[0] == key:
+        return dict(_memo[1])
     out = dict(DEFAULTS)
     cached = _load_cache()
     if cached:
@@ -83,6 +103,7 @@ def resolve() -> dict:
         v = os.environ.get(env)
         if v is not None:
             out[k] = float(v)
+    _memo = (key, dict(out))
     return out
 
 

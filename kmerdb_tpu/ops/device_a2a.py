@@ -384,19 +384,39 @@ def kernel_bench(db: KmerPatternDb, n1: int = 2, n2: int = 6) -> dict:
     w = db.pattern_num_kmers
     light, heavy, heavy_limbs = _limb_split(
         w, pallas_gram.LIMB_BITS[engine])
-    interp = not pallas_gram.on_tpu()
+    if not pallas_gram.on_tpu():
+        # interpreted Mosaic over a full packed incidence is hours of
+        # wall clock and measures nothing about the MXU — callers
+        # (bench.py) record the error instead
+        raise RuntimeError("kernel_bench requires the compiled TPU path")
+    interp = False
 
     offs = np.ascontiguousarray(db.pattern_offsets, dtype=np.int64)
     sids = np.ascontiguousarray(db.pattern_sample_ids, dtype=np.uint32)
     nt = S_pad // TILE
     tri_frac = (nt + 1) / (2 * nt)
 
+    # honor the same residency budget as the streaming tier: this bench
+    # pins every group on device at once, so cap rows per class when
+    # the packed incidence would blow past it (throughput depends on
+    # shape, not content — a truncated class still measures the kernel)
+    budget = (int(os.environ.get("KMERDB_A2A_RESIDENT_MB", "4096"))
+              << 20)
+    total_rows = sum(_round_up(p.size, KT)
+                     for p in (light, heavy) if p.size)
+    used_bytes = 0
+    benched_rows = 0
     dev_groups = []
     flops_per_call = 0.0
     for pids, n_limbs in ((light, 1), (heavy, heavy_limbs)):
         if pids.size == 0:
             continue
+        max_rows = max((budget - used_bytes) * 8 // S_pad // KT * KT, KT)
+        if pids.size > max_rows:
+            pids = pids[:max_rows]
         rows = _round_up(pids.size, KT)
+        benched_rows += rows
+        used_bytes += rows // 8 * S_pad
         buf = np.zeros((rows // 8, S_pad), dtype=np.uint8)
         wbuf = np.zeros(rows, dtype=np.uint32)
         _fill_packed(pids, rows, offs, sids, w, buf, wbuf)
@@ -423,7 +443,7 @@ def kernel_bench(db: KmerPatternDb, n1: int = 2, n2: int = 6) -> dict:
     t1, t2 = chain(n1), chain(n2)
     per_call = max((t2 - t1) / (n2 - n1), 1e-9)
     peak = 3.94e14 if engine == "s8" else 1.97e14
-    return {
+    out = {
         "engine": engine, "kt": KT, "tile": TILE,
         "kernel_flops_per_pass": flops_per_call,
         "kernel_s_per_pass": round(per_call, 4),
@@ -432,6 +452,11 @@ def kernel_bench(db: KmerPatternDb, n1: int = 2, n2: int = 6) -> dict:
             flops_per_call / per_call / peak * 100, 2),
         "mxu_peak_flops": peak,
     }
+    if benched_rows < total_rows:
+        out["truncated_to_resident_budget"] = (
+            f"benched {benched_rows}/{total_rows} pattern rows "
+            f"(KMERDB_A2A_RESIDENT_MB={budget >> 20})")
+    return out
 
 
 def all2all_device(db: KmerPatternDb) -> np.ndarray:

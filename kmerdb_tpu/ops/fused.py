@@ -54,11 +54,7 @@ def _merged_partitions(key_streams):
     total = int(sum(s.size for s in key_streams))
     n_parts = max(1, -(-total // builder._PARTITION_ELEMS))
     edges = builder._partition_edges(key_streams, n_parts)
-    cuts = np.empty((len(key_streams), edges.size + 2), dtype=np.int64)
-    for i, s in enumerate(key_streams):
-        cuts[i, 0] = 0
-        cuts[i, -1] = s.size
-        cuts[i, 1:-1] = np.searchsorted(s, edges, side="left")
+    cuts = builder._partition_cuts(key_streams, edges)
 
     for part in range(edges.size + 1):
         sliced_k, sliced_v, cvals = [], [], []
@@ -238,30 +234,39 @@ def grid_group_counts(dbs) -> dict:
     bufs = [np.zeros((CH // 8, sp), dtype=np.uint8) for sp in S_pads]
     for r0 in range(0, max(G, 1), CH):
         r1 = min(G, r0 + CH)
-        U = []
+        # only parts owning rows in this union-range chunk get filled,
+        # pushed, or multiplied: for range-partitioned (disjoint) parts
+        # most (cell, chunk) products are provably zero and skipping
+        # them removes nearly all of the grid's device work
+        U = [None] * P_n
         for pi in range(P_n):
             a = int(np.searchsorted(part_rows[pi], r0))
             b = int(np.searchsorted(part_rows[pi], r1))
+            if b <= a:
+                continue
             buf = bufs[pi]
             buf[:] = 0
-            if b > a:
-                rows_loc = part_rows[pi][a:b] - r0
-                if native.available:
-                    native.fill_incidence_bits_rows(
-                        rows_loc, part_pids[pi][a:b], part_offs[pi],
-                        part_sids[pi], buf)
-                else:
-                    for e in range(b - a):
-                        r = int(rows_loc[e])
-                        p = int(part_pids[pi][a + e])
-                        cols = part_sids[pi][part_offs[pi][p]:
-                                             part_offs[pi][p + 1]]
-                        buf[r >> 3, cols] |= np.uint8(1 << (r & 7))
+            rows_loc = part_rows[pi][a:b] - r0
+            if native.available:
+                native.fill_incidence_bits_rows(
+                    rows_loc, part_pids[pi][a:b], part_offs[pi],
+                    part_sids[pi], buf)
+            else:
+                for e in range(b - a):
+                    r = int(rows_loc[e])
+                    p = int(part_pids[pi][a + e])
+                    cols = part_sids[pi][part_offs[pi][p]:
+                                         part_offs[pi][p + 1]]
+                    buf[r >> 3, cols] |= np.uint8(1 << (r & 7))
             # copy: live views of reused scratch must not reach the
             # async device_put (see device_a2a.packed_group)
-            U.append(jax.device_put(buf.copy()))
+            U[pi] = jax.device_put(buf.copy())
         for i in range(P_n):
+            if U[i] is None:
+                continue
             for j in range(i + 1):
+                if U[j] is None:
+                    continue
                 key = (S_pads[i], S_pads[j])
                 C_dev[(i, j)] = cross_execs[key](
                     U[i], U[j], w_dev, C_dev[(i, j)])

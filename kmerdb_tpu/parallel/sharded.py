@@ -360,11 +360,7 @@ def build_sharded(db: KmerPatternDb, samples, mesh: Mesh) -> KmerPatternDb:
                 | db.kmer_pattern_ids.astype(np.uint32))
 
     edges = builder._partition_edges(key_streams, D)
-    cuts = np.empty((len(key_streams), edges.size + 2), dtype=np.int64)
-    for i, s in enumerate(key_streams):
-        cuts[i, 0] = 0
-        cuts[i, -1] = s.size
-        cuts[i, 1:-1] = np.searchsorted(s, edges, side="left")
+    cuts = builder._partition_cuts(key_streams, edges)
 
     # pack every range into a common [D, N_pad] layout (empty ranges
     # pad with the sentinel key and produce zero groups)

@@ -250,3 +250,28 @@ def test_cli_from_fasta_fraction_and_minhash(tmp_path, reference_test_dir):
     assert cli(["all2all", "-from-fasta", "-from-minhash", str(mh_lst),
                 str(d)]) == 0
     assert c.read_bytes() == d.read_bytes()
+
+
+def test_merge_groups_hashes_off_matches_on():
+    """merge_groups(hashes=False) — the fused path's merge — must
+    produce the same merged stream and group geometry as the hashed
+    form (only h1/h2 become empty)."""
+    from kmerdb_tpu.utils import native
+    if not native.available:
+        import pytest
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(11)
+    streams = [np.unique(rng.integers(0, 500, size=n, dtype=np.uint64))
+               for n in (120, 80, 1, 300)]
+    cvals = list(range(len(streams)))
+    vals = [None] * len(streams)
+    mv_a, gk_a, gs_a, gl_a, h1_a, h2_a = native.merge_groups(
+        streams, vals, cvals)
+    mv_b, gk_b, gs_b, gl_b, h1_b, h2_b = native.merge_groups(
+        streams, vals, cvals, hashes=False)
+    np.testing.assert_array_equal(mv_a, mv_b)
+    np.testing.assert_array_equal(gk_a, gk_b)
+    np.testing.assert_array_equal(gs_a, gs_b)
+    np.testing.assert_array_equal(gl_a, gl_b)
+    assert h1_a.size == gk_a.size and h2_a.size == gk_a.size
+    assert h1_b.size == 0 and h2_b.size == 0
