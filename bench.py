@@ -83,6 +83,14 @@ def bench_scale(base):
     from kmerdb_tpu.ops import device_a2a
     from kmerdb_tpu.utils import native
 
+    from kmerdb_tpu.utils import hwprobe
+    if not hwprobe.tpu_available():
+        # without the chip the device/kernel sections would either hang
+        # on backend init (deaf service) or run interpreted Mosaic for
+        # hours; degrade to a recorded error (main() catches) and let
+        # the quick + mesh sections carry the bench line
+        raise RuntimeError("TPU unavailable (bounded hwprobe): "
+                           "scale section skipped")
     list_path = generate_scale(SCALE_DIR, n_samples=4096,
                                genome_len=30_000, branch_rate=0.0008)
     db_path = os.path.join(SCALE_DIR, "bench_scale.db")

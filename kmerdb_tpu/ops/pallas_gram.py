@@ -60,13 +60,16 @@ def pick_tile(S: int) -> int:
 
 def on_tpu() -> bool:
     """True when the default JAX device is a TPU chip (including
-    tunneled platforms like 'axon' whose platform name isn't 'tpu')."""
-    if jax.default_backend() == "tpu":
-        return True
-    try:
-        return "TPU" in jax.devices()[0].device_kind.upper()
-    except Exception:
-        return False
+    tunneled platforms like 'axon' whose platform name isn't 'tpu').
+
+    Bounded: the first call in a process consults utils/hwprobe (a
+    cross-process stamp + timeout-guarded subprocess probe) before
+    initializing the backend, because init against a deaf tunneled
+    service blocks indefinitely — a down service must cost a bounded
+    probe, not a hung CLI.  KMERDB_HW_PROBE=0 restores the direct
+    init."""
+    from ..utils import hwprobe
+    return hwprobe.tpu_available()
 
 
 def _gram_body(k, w_ref, bi_ref, bj_ref, out_ref, n_limbs):

@@ -50,6 +50,10 @@ def _clean_env():
     env.pop("JAX_PLATFORMS", None)
     env.pop("XLA_FLAGS", None)
     env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # these subprocesses ARE hardware probes with their own timeouts:
+    # bypass the hwprobe stamp so a stale cross-process verdict can't
+    # stand in for actually reaching the chip
+    env["KMERDB_HW_PROBE"] = "0"
     return env
 
 

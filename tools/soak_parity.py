@@ -390,6 +390,9 @@ def hw_check() -> str:
     env.pop("XLA_FLAGS", None)
     if _AXON_POOL is not None:      # restore the tunnel for this probe
         env["PALLAS_AXON_POOL_IPS"] = _AXON_POOL
+    # this IS a real hardware probe with its own timeout: bypass the
+    # hwprobe stamp so a stale verdict can't stand in for the chip
+    env["KMERDB_HW_PROBE"] = "0"
     snippet = """
 import numpy as np, jax.numpy as jnp
 from kmerdb_tpu.ops import pallas_gram as pg
