@@ -155,18 +155,15 @@ def _emit_matrix_row(ofs, name, cnt, row, i, filt):
         ofs.write(csvio.dense_row(name, cnt, row))
 
 
-def run_all2all_fused(p):
-    """`all2all -from-fasta <sample-list> <csv>`: the fused
-    ingest->group-Gram pipeline (ops/fused.py) — no database is built,
-    the TPU consumes the merged k-mer groups directly.  Output is
-    byte-identical to `build` + `all2all` over the same list (same
-    header, same counts; C is the same matrix by construction)."""
+def _fused_ingest(p, list_filename):
+    """Ingest a sample list and run the fused group Gram
+    (ops/fused.py): returns (shim_db, C) where shim_db carries the
+    names/counts/k/fraction the filter, sampler, and writer stacks
+    read — so the -from-fasta forms of all2all and all2all-sp share
+    every byte-format code path with their database-backed forms."""
     import time
     from ..utils import log
     from ..ops import fused
-    if len(p.files) != 2:
-        raise UsageError(p.mode)
-    list_filename, out_filename = p.files
 
     t0 = time.perf_counter()
     names, counts, streams = [], [], []
@@ -194,20 +191,32 @@ def run_all2all_fused(p):
     C = fused.all2all_group_counts(streams)
     log.verbose(f"Fused group Gram computed in "
                 f"{time.perf_counter() - t1:.3f}s")
+    shim = KmerPatternDb(kmer_length=kmer_length, fraction=fraction,
+                         alphabet_name=p.alphabet_name,
+                         sample_names=names,
+                         sample_kmer_counts=counts)
+    return shim, C
+
+
+def run_all2all_fused(p):
+    """`all2all -from-fasta <sample-list> <csv>`: the fused
+    ingest->group-Gram pipeline (ops/fused.py) — no database is built,
+    the TPU consumes the merged k-mer groups directly.  Output is
+    byte-identical to `build` + `all2all` over the same list (same
+    header, same counts; C is the same matrix by construction)."""
+    if len(p.files) != 2:
+        raise UsageError(p.mode)
+    list_filename, out_filename = p.files
+    db, C = _fused_ingest(p, list_filename)
 
     with open(out_filename, "w", newline="") as ofs:
-        ofs.write(csvio.matrix_header(kmer_length, fraction, names))
-        ofs.write(csvio.totals_row(counts))
-        filt = None
-        if p.sparse_out:
-            shim = KmerPatternDb(kmer_length=kmer_length,
-                                 fraction=fraction,
-                                 alphabet_name=p.alphabet_name,
-                                 sample_names=names,
-                                 sample_kmer_counts=counts)
-            filt = _matrix_filter(p, shim)
-        for i in range(len(names)):
-            _emit_matrix_row(ofs, names[i], int(counts[i]), C[i, :i],
+        ofs.write(csvio.matrix_header(db.kmer_length, db.fraction,
+                                      db.sample_names))
+        ofs.write(csvio.totals_row(db.sample_kmer_counts))
+        filt = _matrix_filter(p, db) if p.sparse_out else None
+        for i in range(db.n_samples):
+            _emit_matrix_row(ofs, db.sample_names[i],
+                             int(db.sample_kmer_counts[i]), C[i, :i],
                              i, filt)
 
 
@@ -302,13 +311,19 @@ def run_all2all_sp(p):
     if len(p.files) != 2:
         raise UsageError(p.mode)
     db_filename, out_filename = p.files
-    db = dbfile.load_db(db_filename, dbfile.PATTERNS)
-    mesh = _active_mesh()
-    if mesh is not None:
-        from ..parallel import sharded
-        C = sharded.all2all_counts_sharded(db, mesh)
+    if getattr(p, "from_fasta", False):
+        # TPU-native extension: FASTA list -> filtered/sampled sparse
+        # matrix in one command, no database (same fused pipeline as
+        # all2all -from-fasta; first positional is the sample list)
+        db, C = _fused_ingest(p, db_filename)
     else:
-        C = intersect.all2all_counts(db)
+        db = dbfile.load_db(db_filename, dbfile.PATTERNS)
+        mesh = _active_mesh()
+        if mesh is not None:
+            from ..parallel import sharded
+            C = sharded.all2all_counts_sharded(db, mesh)
+        else:
+            C = intersect.all2all_counts(db)
     filt = _matrix_filter(p, db)
 
     sampler = None

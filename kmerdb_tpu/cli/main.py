@@ -34,10 +34,15 @@ _MODE_HELP = {
     "all2all": """Counting common k-mers for all samples in the database:
     kmer-db-tpu all2all [-buffer <mb>] [-t <threads>]
         [-sparse [-min [<criterion>:]<value>]* [-max [<criterion>:]<value>]*]
-        <database> <common_table>""",
+        <database> <common_table>
+    kmer-db-tpu all2all -from-fasta [build ingest options]
+        <samples> <common_table>     (fused pipeline, no database)""",
     "all2all-sp": """Counting common k-mers (sparse computation):
     kmer-db-tpu all2all-sp [-min ...]* [-max ...]*
-        [-sample-rows [<criterion>:]<count>] <database> <common_table>""",
+        [-sample-rows [<criterion>:]<count>] <database> <common_table>
+    kmer-db-tpu all2all-sp -from-fasta [build ingest options]
+        [-min ...]* [-max ...]* [-sample-rows ...]
+        <samples> <common_table>     (fused pipeline, no database)""",
     "all2all-parts": """Counting common k-mers over database parts:
     kmer-db-tpu all2all-parts [-min ...]* [-max ...]*
         [-sample-rows [<criterion>:]<count>] <db_list> <common_table>""",

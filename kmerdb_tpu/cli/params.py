@@ -210,10 +210,12 @@ def _parse_build(p: Params, args, get_alphabet):
 
 
 def _parse_all2all(p: Params, args):
-    if p.mode == "all2all":
-        # TPU-native extension: `all2all -from-fasta <sample-list>
-        # <csv>` runs the fused ingest->Gram pipeline (ops/fused.py)
-        # without building a database; ingest options mirror build's
+    if p.mode in ("all2all", "all2all-sp"):
+        # TPU-native extension: `all2all[-sp] -from-fasta
+        # <sample-list> <csv>` runs the fused ingest->Gram pipeline
+        # (ops/fused.py) without building a database; ingest options
+        # mirror build's.  In the -sp form the fused matrix feeds the
+        # same filter/sampler/writer stack as a loaded database.
         p.from_fasta = find_switch(args, "-from-fasta")
         if p.from_fasta:
             from ..ops.alphabet import get_alphabet

@@ -275,3 +275,29 @@ def test_merge_groups_hashes_off_matches_on():
     np.testing.assert_array_equal(gl_a, gl_b)
     assert h1_a.size == gk_a.size and h2_a.size == gk_a.size
     assert h1_b.size == 0 and h2_b.size == 0
+
+
+def test_cli_sp_from_fasta_matches_build_all2all_sp(tmp_path,
+                                                    reference_test_dir):
+    """`all2all-sp -from-fasta` == `build` + `all2all-sp` byte-for-byte
+    — plain, filtered, and with best-sampling."""
+    p1 = reference_test_dir / "virus" / "seqs.part1.list"
+    lines = p1.read_text().splitlines()[:12]
+    lst = tmp_path / "list.txt"
+    lst.write_text("".join(
+        str(reference_test_dir.parent / l.lstrip("./")) + "\n"
+        for l in lines if l.strip()))
+
+    db = tmp_path / "x.db"
+    assert cli(["build", "-k", "15", str(lst), str(db)]) == 0
+
+    for extra in ([],
+                  ["-min", "2", "-max", "jaccard:0.9"],
+                  ["-sample-rows", "mash:3"],
+                  ["-min", "num-kmers:2", "-sample-rows", "jaccard:2"]):
+        ref_csv = tmp_path / "ref.sp"
+        fus_csv = tmp_path / "fus.sp"
+        assert cli(["all2all-sp", *extra, str(db), str(ref_csv)]) == 0
+        assert cli(["all2all-sp", "-from-fasta", "-k", "15", *extra,
+                    str(lst), str(fus_csv)]) == 0
+        assert fus_csv.read_bytes() == ref_csv.read_bytes(), extra

@@ -245,19 +245,20 @@ def one_case(case, seed):
             cmp_bytes(tmp / "r.a2a", tmp / "o.ma2a",
                       f"a2a -mesh {mesh_n} [{tag}]")
 
-        # fused pipeline (all2all -from-fasta, ops/fused.py) against
-        # the same reference oracle: no database, same bytes.  Only
-        # for plain non-extend builds (the fused mode has no -extend)
+        # fused pipeline (all2all[-sp] -from-fasta, ops/fused.py)
+        # against the same reference oracle: no database, same bytes.
+        # Only for plain non-extend builds (the fused mode has no
+        # -extend); fargs0 = the build-equivalent ingest options
+        fargs0 = ["-k", k]
+        if alpha != "nt":
+            fargs0 += ["-alphabet", alpha]
+        if frac_mode >= 1:
+            fargs0 += ["-f", bargs[bargs.index("-f") + 1]]
+        if frac_mode == 2:
+            fargs0 += ["-f-start", bargs[bargs.index("-f-start") + 1]]
+        if multifasta:
+            fargs0 += ["-multisample-fasta"]
         if not extend and rng.integers(0, 2):
-            fargs0 = ["-k", k]
-            if alpha != "nt":
-                fargs0 += ["-alphabet", alpha]
-            if frac_mode >= 1:
-                fargs0 += ["-f", bargs[bargs.index("-f") + 1]]
-            if frac_mode == 2:
-                fargs0 += ["-f-start", bargs[bargs.index("-f-start") + 1]]
-            if multifasta:
-                fargs0 += ["-multisample-fasta"]
             ours(["all2all", "-from-fasta", *fargs0, lst, tmp / "o.fa2a"],
                  td)
             cmp_bytes(tmp / "r.a2a", tmp / "o.fa2a", f"fused-a2a [{tag}]")
@@ -311,6 +312,12 @@ def one_case(case, seed):
         ours(["all2all-sp", *spargs, tmp / "o.db", tmp / "o.sp2"], td)
         cmp_bytes(tmp / "r.sp2", tmp / "o.sp2",
                   f"a2a-sp {spargs} [{tag}]")
+        if not extend and rng.integers(0, 2):
+            # fused sp form: same filters/sampling, no database
+            ours(["all2all-sp", "-from-fasta", *fargs0, *spargs, lst,
+                  tmp / "o.fsp2"], td)
+            cmp_bytes(tmp / "r.sp2", tmp / "o.fsp2",
+                      f"fused-sp {spargs} [{tag}]")
 
         # new2all vs the first input file (not for multifasta-kmc combos)
         q = paths[0]
