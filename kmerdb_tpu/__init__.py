@@ -29,4 +29,4 @@ which maps directly onto TPU matrix units.
 # touch a device (distance, minhash, host-path queries) skip the
 # multi-second jax import entirely.
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
