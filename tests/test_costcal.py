@@ -68,3 +68,21 @@ def test_calibrate_disabled(cache_dir, monkeypatch):
     c = costcal.ensure_calibrated()
     assert c == costcal.DEFAULTS
     assert not (cache_dir / "cost.json").exists()
+
+
+def test_resolve_memo_invalidation(monkeypatch, tmp_path):
+    """resolve() is memoized (called per dispatch decision) but must
+    recompute when the cache file or a KMERDB_COST_* env changes."""
+    import json
+    from kmerdb_tpu.ops import costcal
+
+    monkeypatch.setenv("KMERDB_COST_CACHE_DIR", str(tmp_path))
+    r1 = costcal.resolve()
+    assert costcal.resolve() == r1
+
+    (tmp_path / "cost.json").write_text(json.dumps(
+        {"version": costcal._VERSION, "push_Bps": 123.0}))
+    assert costcal.resolve()["push_Bps"] == 123.0
+
+    monkeypatch.setenv("KMERDB_COST_PUSH_BPS", "456")
+    assert costcal.resolve()["push_Bps"] == 456.0
