@@ -333,6 +333,31 @@ print(json.dumps({"cold_s": round(cold, 2), "warm_s": round(warm, 2),
     return out
 
 
+def bench_multihost_virtual():
+    """The north star's N>=2-hosts axis, on the only multi-process
+    geometry this rig offers: 2 jax.distributed CPU processes x 4
+    virtual devices time-slicing ONE core.  Validates the full DCN
+    path (host-sharded ingest -> range-sharded build -> psum all2all
+    -> new2all -> db2db, every stage byte-asserted in the workers) and
+    bounds its overhead; not a speedup claim."""
+    import re
+
+    import __graft_entry__ as graft
+    raw = graft.dryrun_multihost(2, 4)
+    ok_lines = [l for l in raw.splitlines() if "MULTIHOST_OK" in l]
+    line = ok_lines[-1] if ok_lines else raw[-200:]
+    out = {"ok": bool(ok_lines), "line": line}
+    for key in ("a2a_cold_s", "a2a_warm_s"):
+        m = re.search(rf"{key}=([0-9.]+)", line)
+        if m:
+            out[key] = float(m.group(1))
+    out["note"] = ("2 jax.distributed processes x 4 VIRTUAL CPU "
+                   "devices on 1 physical core: full-pipeline DCN "
+                   "validation with byte-asserted stages; wall-clock "
+                   "bounds sharding+collective overhead only")
+    return out
+
+
 def main():
     base_path = pathlib.Path(__file__).parent / "BASELINE_MEASURED.json"
     base = json.loads(base_path.read_text())
@@ -354,6 +379,10 @@ def main():
             detail["mesh_scaling_virtual"] = bench_mesh_scaling()
         except Exception as e:
             detail["mesh_scaling_virtual"] = {"error": str(e)[:300]}
+        try:
+            detail["multihost_virtual"] = bench_multihost_virtual()
+        except Exception as e:
+            detail["multihost_virtual"] = {"error": str(e)[:300]}
 
     scale = None
     if os.environ.get("KMERDB_BENCH_SCALE", "1") != "0" and \

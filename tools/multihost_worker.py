@@ -108,9 +108,18 @@ def main():
     np.testing.assert_array_equal(db.pattern_sample_ids,
                                   db_host.pattern_sample_ids)
 
-    # stage 3: pattern-sharded all2all (psum over the global mesh)
+    # stage 3: pattern-sharded all2all (psum over the global mesh);
+    # timed cold/warm so the bench can record a measured (virtual,
+    # honestly-labeled) N-process row for the north star's N-hosts axis
+    import time
+    t0 = time.perf_counter()
     C = sharded.all2all_counts_sharded(db, mesh)
+    a2a_cold_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    C2 = sharded.all2all_counts_sharded(db, mesh)
+    a2a_warm_s = time.perf_counter() - t0
     np.testing.assert_array_equal(C, intersect.all2all_counts(db))
+    np.testing.assert_array_equal(C, C2)
 
     # stage 4: query-sharded new2all
     queries = [ks for _, ks in samples[: D + 1]]
@@ -131,7 +140,9 @@ def main():
 
     if pid == 0:
         print(f"MULTIHOST_OK procs={nproc} devs={D} stages=5 "
-              f"S={db.n_samples} P={db.n_patterns}", flush=True)
+              f"S={db.n_samples} P={db.n_patterns} "
+              f"a2a_cold_s={a2a_cold_s:.2f} a2a_warm_s={a2a_warm_s:.2f}",
+              flush=True)
 
 
 if __name__ == "__main__":
