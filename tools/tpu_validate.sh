@@ -48,5 +48,17 @@ echo "[$(date -u +%H:%M:%S)] full bench" >> "$LOG"
 (cd "$REPO" && timeout 5400 python bench.py > "$OUT/bench.json" 2> "$OUT/bench.err")
 echo "[$(date -u +%H:%M:%S)] bench rc=$?" >> "$LOG"
 
+# kernel-perf campaign for the next push (memory: is the in-kernel
+# unpack the 56%-of-peak bound?): the s8 MXU ceiling at production
+# tile (dotonly_s8 = pre-unpacked operands) and the tile=1024 point
+echo "[$(date -u +%H:%M:%S)] kernel sweep" >> "$LOG"
+timeout 1200 python "$REPO/tools/kernel_sweep.py" dotonly_s8 \
+    --kt 1024 --tile 512 >> "$OUT/sweep.txt" 2>&1
+timeout 1200 python "$REPO/tools/kernel_sweep.py" int8 \
+    --kt 1024 --tile 1024 >> "$OUT/sweep.txt" 2>&1
+timeout 1200 python "$REPO/tools/kernel_sweep.py" int8 \
+    --kt 2048 --tile 512 >> "$OUT/sweep.txt" 2>&1
+echo "[$(date -u +%H:%M:%S)] sweep done" >> "$LOG"
+
 for pid in $SOAK_PIDS; do kill -CONT "$pid"; done
 echo "[$(date -u +%H:%M:%S)] DONE" >> "$LOG"
