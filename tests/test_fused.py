@@ -301,3 +301,31 @@ def test_cli_sp_from_fasta_matches_build_all2all_sp(tmp_path,
         assert cli(["all2all-sp", "-from-fasta", "-k", "15", *extra,
                     str(lst), str(fus_csv)]) == 0
         assert fus_csv.read_bytes() == ref_csv.read_bytes(), extra
+
+
+def test_cli_sp_from_fasta_minhash_input(tmp_path, reference_test_dir):
+    """all2all-sp -from-fasta -from-minhash (minhash-file ingest into
+    the fused sparse console) == build -from-minhash + all2all-sp."""
+    import shutil
+    p1 = reference_test_dir / "virus" / "seqs.part1.list"
+    lines = [l for l in p1.read_text().splitlines() if l.strip()][:8]
+    srcs = [str(reference_test_dir.parent / l.lstrip("./"))
+            for l in lines]
+    paths = []
+    for p in srcs:
+        src = p if os.path.exists(p) else p + ".fasta"
+        dst = tmp_path / os.path.basename(p)
+        shutil.copy(src, dst)
+        paths.append(str(dst))
+    lst = tmp_path / "list.txt"
+    lst.write_text("".join(p + "\n" for p in paths))
+
+    assert cli(["minhash", "-k", "16", "-f", "0.4", str(lst)]) == 0
+    db = tmp_path / "mh.db"
+    a = tmp_path / "a.sp"
+    b = tmp_path / "b.sp"
+    assert cli(["build", "-from-minhash", str(lst), str(db)]) == 0
+    assert cli(["all2all-sp", "-min", "2", str(db), str(a)]) == 0
+    assert cli(["all2all-sp", "-from-fasta", "-from-minhash",
+                "-min", "2", str(lst), str(b)]) == 0
+    assert a.read_bytes() == b.read_bytes()
