@@ -183,8 +183,10 @@ def _probe_host() -> dict:
 
     def scatter_rate(S, n_pat, plen):
         offs = np.arange(0, n_pat * plen + 1, plen, dtype=np.int64)
-        sids = rng.integers(0, S, size=n_pat * plen,
-                            dtype=np.uint32)
+        # ascending within each pattern: the kernel's documented
+        # precondition (real pattern/group id lists are ascending)
+        sids = np.sort(rng.integers(0, S, size=(n_pat, plen),
+                                    dtype=np.uint32), axis=1).ravel()
         w = np.ones(n_pat, dtype=np.uint32)
         t0 = time.perf_counter()
         native.a2a_dense(offs, sids, w, S)
