@@ -83,14 +83,29 @@ def bench_scale(base):
     from kmerdb_tpu.ops import device_a2a
     from kmerdb_tpu.utils import native
 
+    # The bench is the once-per-round measurement and the rig's TPU
+    # service outages are known to last hours: ride them out with a
+    # bounded re-probe loop instead of aborting on the first bounded
+    # probe (KMERDB_BENCH_WAIT_TPU_S caps the wait; 0 = single probe).
     from kmerdb_tpu.utils import hwprobe
-    if not hwprobe.tpu_available():
-        # without the chip the device/kernel sections would either hang
-        # on backend init (deaf service) or run interpreted Mosaic for
-        # hours; degrade to a recorded error (main() catches) and let
-        # the quick + mesh sections carry the bench line
-        raise RuntimeError("TPU unavailable (bounded hwprobe): "
-                           "scale section skipped")
+    budget = float(os.environ.get("KMERDB_BENCH_WAIT_TPU_S", "1800"))
+    deadline = time.time() + budget
+    waited_s = 0.0
+    while not hwprobe.machine_probe():
+        remaining = deadline - time.time()
+        if remaining <= 0:
+            # without the chip the device/kernel sections would either
+            # hang on backend init (deaf service) or run interpreted
+            # Mosaic for hours; degrade to a recorded error (main()
+            # catches) and let the quick + mesh sections carry the line
+            raise RuntimeError(
+                "TPU unavailable after waiting %.0fs (bounded hwprobe "
+                "re-probes every 5 min): scale section skipped" % budget)
+        nap = min(300.0, remaining)
+        print("bench: TPU service down, re-probing in %.0fs "
+              "(%.0fs budget left)" % (nap, remaining), file=sys.stderr)
+        time.sleep(nap)
+        waited_s = budget - max(0.0, deadline - time.time())
     list_path = generate_scale(SCALE_DIR, n_samples=4096,
                                genome_len=30_000, branch_rate=0.0008)
     db_path = os.path.join(SCALE_DIR, "bench_scale.db")
@@ -225,6 +240,7 @@ def bench_scale(base):
 
     total_kmers = int(db.sample_kmer_counts.sum())
     return {
+        "tpu_wait_s": round(waited_s, 1),
         "n_samples": S,
         "n_patterns": int(db.n_patterns),
         "total_kmer_instances": total_kmers,

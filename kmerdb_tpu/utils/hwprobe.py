@@ -41,6 +41,12 @@ _STAMP = os.path.join(
 #: hardware test suite's _has_tpu)
 _TTL_OK = 3600
 _TTL_DOWN = 600
+#: a positive stamp older than this is re-verified with a bounded
+#: subprocess probe before the (unbounded) in-process backend init is
+#: attempted — closing the stale-positive hang window: the service
+#: dying 50 min into a positive stamp now costs one bounded probe,
+#: not a hung CLI
+_FRESH_OK = 300
 
 
 def _read_stamp() -> dict:
@@ -132,14 +138,18 @@ def tpu_available(probe_timeout_s: int = 75) -> bool:
     if os.environ.get("KMERDB_HW_PROBE", "1") == "0" or _cpu_pinned():
         return _direct()
     st = _read_stamp()
+    age = time.time() - st.get("probe_ts", 0)
     ttl = _TTL_OK if st.get("probe_ok") else _TTL_DOWN
-    if time.time() - st.get("probe_ts", 0) < ttl:
+    if age < ttl:
         if not st.get("probe_ok"):
             return False
-        # machine verdict is positive; the in-process init follows the
-        # process's own platform config (a healthy service answers in
-        # seconds — the TTL bounds the stale-positive hang window)
-        return _direct()
+        if age < _FRESH_OK:
+            # fresh positive verdict: the service answered seconds ago,
+            # in-process init is near-certain to return promptly
+            return _direct()
+        # positive but aging: re-verify with the bounded subprocess
+        # probe (refreshes the stamp) so a service that died inside the
+        # 1 h window costs one bounded probe instead of a hung init
     if not machine_probe(probe_timeout_s):
         return False
     return _direct()
