@@ -256,12 +256,17 @@ def run_all2all(p):
 
         mesh = _active_mesh()
         streamed = False
-        if mesh is None and _stream_rows(db):
-            # large-S memory story: C never fully materializes —
-            # device row stripes stream straight into the CSV writer
-            from ..ops import device_a2a
+        if _stream_rows(db, mesh):
+            # large-S memory story: C never fully materializes — row
+            # stripes stream straight into the CSV writer, either from
+            # the single chip or row-ownership-sharded over the mesh
             try:
-                device_a2a.all2all_device_rows(db, emit)
+                if mesh is not None:
+                    from ..parallel import sharded
+                    sharded.all2all_rows_sharded(db, mesh, emit)
+                else:
+                    from ..ops import device_a2a
+                    device_a2a.all2all_device_rows(db, emit)
                 streamed = True
             except Exception as e:
                 log.normal(f"WARNING: streamed device all2all failed, "
@@ -284,10 +289,12 @@ def run_all2all(p):
                 emit(i, C[i])
 
 
-def _stream_rows(db) -> bool:
-    """Route all2all through the striped streaming device tier when
-    the full C matrix would strain host+device memory (default above
-    16k samples on a TPU host; KMERDB_A2A_STREAM=1/0 forces)."""
+def _stream_rows(db, mesh=None) -> bool:
+    """Route all2all through the striped streaming tier when the full
+    C matrix would strain host+device memory (default above 16k
+    samples; KMERDB_A2A_STREAM=1/0 forces).  With an active mesh the
+    row-stripe-sharded path runs on any backend (its XLA body compiles
+    locally on CPU meshes), so the TPU gate only applies single-chip."""
     import os
     if db.n_samples == 0:
         return False
@@ -299,9 +306,13 @@ def _stream_rows(db) -> bool:
     # service) just to learn it doesn't stream
     if db.n_samples <= 16384:
         return False
-    from ..ops.pallas_gram import on_tpu
     from ..utils import native
-    return native.available and on_tpu()
+    if not native.available:
+        return False
+    if mesh is not None:
+        return True
+    from ..ops.pallas_gram import on_tpu
+    return on_tpu()
 
 
 def run_all2all_sp(p):

@@ -316,6 +316,195 @@ def all2all_counts_sharded(db: KmerPatternDb, mesh: Mesh) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Row-stripe-sharded streaming all2all (mesh x streaming composition)
+# ---------------------------------------------------------------------------
+
+def _stripe_gram_xla(rt0, C, Bp, w, *, n_limbs, kt, tile, limb_bits):
+    """XLA body of one (stripe, group) update — the interpret-path
+    twin of pallas_gram.gram_u32_pk_rows (identical math: unpack the
+    bit-packed K-block, slice the stripe columns, limb contractions,
+    exact uint32 recombination).  Runs on the virtual CPU meshes where
+    Mosaic would be interpreted (hours); on real TPU meshes the Pallas
+    kernel runs instead."""
+    Pb, S = Bp.shape
+    R = C.shape[0]
+    nk = (Pb * 8) // kt
+    Bks = Bp.reshape(nk, kt // 8, S)
+    wks = w.reshape(nk, kt)
+    col0 = rt0[0].astype(jnp.int32) * tile
+    mask = np.uint32((1 << limb_bits) - 1)
+
+    def step(C, chunk):
+        Bpk, wk = chunk
+        b32 = Bpk.astype(jnp.int32)
+        # b-major unpack: bit b of byte-row r is pattern b*(kt//8)+r —
+        # the same order pk_weight_order permutes w into
+        B = jnp.concatenate([(b32 >> b) & 1 for b in range(8)], axis=0)
+        Bf = B.astype(jnp.bfloat16)
+        Bi = jax.lax.dynamic_slice(Bf, (jnp.int32(0), col0), (kt, R))
+        for l in range(n_limbs):
+            # limb values < 2^limb_bits <= 255, K-block partials
+            # <= 255 * kt < 2^24: exact in bf16 operands + f32 MXU
+            wl = ((wk >> np.uint32(limb_bits * l)) & mask).astype(
+                jnp.int32).astype(jnp.bfloat16)
+            part = jax.lax.dot_general(
+                Bi * wl[:, None], Bf,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            C = C + (part.astype(jnp.uint32)
+                     << np.uint32(limb_bits * l))
+        return C, None
+
+    C, _ = jax.lax.scan(step, C, (Bks, wks))
+    return C
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(1,),
+    static_argnames=("mesh", "n_limbs", "kt", "tile", "engine", "interp"))
+def _rows_sharded_step(rt0_all, C_all, Bp, w, *, mesh, n_limbs, kt,
+                       tile, engine, interp):
+    """One (round, group) update: device d accumulates its row stripe
+    [rt0_all[d]*tile, +stripe_rows) of the packed Gram.  The incidence
+    is replicated (every stripe reads all patterns — the reference's
+    row-ownership threads share the DB the same way,
+    similarity_calculator.cpp:371-399); only C is sharded, so no psum
+    and no full-C materialization anywhere."""
+    from ..ops import pallas_gram
+
+    def step(rt0_l, C_l, Bp_l, w_l):
+        if interp:
+            return _stripe_gram_xla(
+                rt0_l, C_l, Bp_l, w_l, n_limbs=n_limbs, kt=kt,
+                tile=tile, limb_bits=pallas_gram.LIMB_BITS[engine])
+        return pallas_gram.gram_u32_pk_rows(
+            Bp_l, w_l, C_l, rt0_l, n_limbs=n_limbs, interpret=False,
+            kt=kt, tile=tile, engine=engine)
+
+    return shard_map(
+        step, mesh=mesh,
+        in_specs=(P("shard"), P("shard"), P(), P()),
+        out_specs=P("shard"))(rt0_all, C_all, Bp, w)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "dtype", "interp"))
+def _cast_sharded(C_all, *, mesh, dtype, interp):
+    from ..ops import pallas_gram
+
+    def step(C_l):
+        if interp:
+            return C_l.astype(dtype)
+        return pallas_gram.cast_rows(C_l, dtype, interpret=False)
+
+    return shard_map(step, mesh=mesh, in_specs=(P("shard"),),
+                     out_specs=P("shard"))(C_all)
+
+
+def all2all_rows_sharded(db: KmerPatternDb, mesh: Mesh, row_handler,
+                         stripe_rows: int | None = None) -> None:
+    """Streamed multi-device all2all: row-stripe ownership over the
+    mesh.  Every device computes the full-K Gram for its stripe rows
+    (packed incidence replicated, C sharded by rows, NO psum of a full
+    C), each round's stripes are pulled u16-narrowed and handed to
+    row_handler(i, uint32[S]) in global row order — so `-mesh N` and
+    the large-S streaming memory story compose: per-device memory is
+    bounded by ONE stripe regardless of S.
+
+    Reference role: the row-ownership split of
+    src/similarity_calculator.cpp:371-399 laid over the mesh axis
+    instead of a thread pool; the stripe streaming plays
+    console_all2all_parts.cpp:294-315's bounded-memory role.
+    """
+    from ..ops import device_a2a, pallas_gram
+    from ..utils import native
+
+    S = db.n_samples
+    if S == 0:
+        return
+    engine, KT, TILE = device_a2a._geometry(S)
+    S_pad = -(-S // TILE) * TILE
+    nt = S_pad // TILE
+    D = int(mesh.devices.size)
+
+    offs = np.ascontiguousarray(db.pattern_offsets, dtype=np.int64)
+    sids = np.ascontiguousarray(db.pattern_sample_ids, dtype=np.uint32)
+    w = db.pattern_num_kmers
+    light, heavy, heavy_limbs = device_a2a._limb_split(
+        w, pallas_gram.LIMB_BITS[engine])
+
+    import os
+    group_bytes = int(os.environ.get("KMERDB_A2A_GROUP_MB", "256")) << 20
+    group_rows = max(KT, (group_bytes * 8 // S_pad) // KT * KT)
+    group_rows = min(group_rows,
+                     -(-max(light.size, heavy.size, 1) // KT) * KT)
+    groups = []
+    for pids, n_limbs in ((light, 1), (heavy, heavy_limbs)):
+        for g0 in range(0, pids.size, group_rows):
+            gp = pids[g0:g0 + group_rows]
+            groups.append((gp, n_limbs, -(-gp.size // KT) * KT))
+
+    if stripe_rows is None:
+        stripe_rows = max(TILE, ((128 << 20) // (S_pad * 4))
+                          // TILE * TILE)
+    nrt = max(1, min(nt, stripe_rows // TILE))
+    stripe_rows = nrt * TILE
+
+    interp = not pallas_gram.on_tpu()
+    buf = np.zeros((group_rows // 8, S_pad), dtype=np.uint8)
+    wbuf = np.zeros(group_rows, dtype=np.uint32)
+
+    def packed_group(gp, rows):
+        device_a2a._fill_packed(gp, rows, offs, sids, w, buf, wbuf)
+        return (_to_global(buf[:rows // 8].copy(), mesh, P()),
+                _to_global(pallas_gram.pk_weight_order(
+                    wbuf[:rows], KT).reshape(-1, 1), mesh, P()))
+
+    resident_mb = int(os.environ.get("KMERDB_A2A_RESIDENT_MB", "4096"))
+    total_packed = sum(rows // 8 * S_pad for _, _, rows in groups)
+    # the incidence is replicated: every device holds the whole set
+    resident = total_packed <= (resident_mb << 20)
+    dev_groups = None
+    if resident:
+        dev_groups = [(packed_group(gp, rows), n_limbs, rows)
+                      for gp, n_limbs, rows in groups]
+
+    counts_max = int(db.sample_kmer_counts.max()) \
+        if db.sample_kmer_counts.size else 0
+    narrow = counts_max < (1 << 16)
+
+    next_row = 0
+    for r0 in range(0, nt, D * nrt):
+        # device d owns tiles [rt0[d], rt0[d]+nrt); the tail round
+        # clamps backwards (duplicate rows are skipped via next_row)
+        rt0 = np.minimum(r0 + np.arange(D, dtype=np.int32) * nrt,
+                         nt - nrt).astype(np.int32)
+        C = _to_global(np.zeros((D * stripe_rows, S_pad),
+                                dtype=np.uint32), mesh, P("shard"))
+        it = dev_groups if resident else (
+            (packed_group(gp, rows), n_limbs, rows)
+            for gp, n_limbs, rows in groups)
+        for (Bp, wg), n_limbs, rows in it:
+            C = _rows_sharded_step(
+                _to_global(rt0, mesh, P("shard")), C, Bp, wg,
+                mesh=mesh, n_limbs=n_limbs, kt=KT, tile=TILE,
+                engine=engine, interp=interp)
+        if narrow:
+            C = _cast_sharded(C, mesh=mesh, dtype=jnp.uint16,
+                              interp=interp)
+        out = _collect(C, replicated=False).astype(np.uint32,
+                                                   copy=False)
+        for d in range(D):
+            base = int(rt0[d]) * TILE
+            stripe = out[d * stripe_rows:(d + 1) * stripe_rows]
+            for i in range(max(next_row, base),
+                           min(base + stripe_rows, S)):
+                row_handler(i, stripe[i - base, :S])
+            next_row = max(next_row, min(base + stripe_rows, S))
+        if next_row >= S:
+            break
+
+
+# ---------------------------------------------------------------------------
 # K-mer-range-sharded database build
 # ---------------------------------------------------------------------------
 

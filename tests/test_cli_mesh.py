@@ -94,3 +94,27 @@ def test_mesh_one_device_is_noop():
     assert runtime.active_mesh() is None
     runtime.configure("0")
     assert runtime.active_mesh() is None
+
+
+@pytest.mark.parametrize("n_dev", ["2", "8"])
+def test_mesh_streamed_all2all_identical(tmp_path, n_dev, monkeypatch):
+    """-mesh composed with the streamed large-S path (KMERDB_A2A_STREAM
+    forces the stripe tier below its 16k default): byte-identical CSV,
+    dense and sparse."""
+    lst = _fasta_corpus(tmp_path, n=21, seed=11)
+    base, meshed = tmp_path / "base", tmp_path / "mesh"
+    base.mkdir(), meshed.mkdir()
+
+    _run(["build", "-k", "16", lst, base / "db"])
+    _run(["all2all", base / "db", base / "a2a.csv"])
+    _run(["all2all", "-sparse", "-min", "2", base / "db",
+          base / "a2a.sparse.csv"])
+
+    monkeypatch.setenv("KMERDB_A2A_STREAM", "1")
+    _run(["build", "-k", "16", lst, meshed / "db"])
+    _run(["all2all", "-mesh", n_dev, meshed / "db", meshed / "a2a.csv"])
+    _run(["all2all", "-sparse", "-min", "2", "-mesh", n_dev,
+          meshed / "db", meshed / "a2a.sparse.csv"])
+
+    for f in ("a2a.csv", "a2a.sparse.csv"):
+        assert (base / f).read_bytes() == (meshed / f).read_bytes(), f

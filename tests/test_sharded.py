@@ -86,3 +86,50 @@ def test_db2db_sharded_matches_single():
     assert host.max() > 0
     np.testing.assert_array_equal(
         db2db_counts_sharded(dbA, dbB, mesh8), host)
+
+
+@pytest.mark.parametrize("n_devices", [2, 8])
+@pytest.mark.parametrize("stripe_rows", [None, 128])
+def test_rows_sharded_streaming_matches(synth_db, n_devices, stripe_rows):
+    """Row-stripe-sharded streaming all2all (mesh x streaming
+    composition) == single-device matrix path, rows emitted in order,
+    per-device memory one stripe."""
+    import jax
+    from kmerdb_tpu.parallel.sharded import all2all_rows_sharded
+    if len(jax.devices()) < n_devices:
+        pytest.skip("not enough devices")
+    mesh = make_mesh(n_devices)
+    S = synth_db.n_samples
+    want = intersect.all2all_counts(synth_db)
+    rows = {}
+    order = []
+
+    def emit(i, row):
+        order.append(i)
+        rows[i] = row.copy()
+
+    all2all_rows_sharded(synth_db, mesh, emit, stripe_rows=stripe_rows)
+    assert order == list(range(S))
+    got = np.stack([rows[i] for i in range(S)])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_rows_sharded_heavy_weights(reference_test_dir):
+    """Multi-limb (heavy pattern) stripes through the sharded stream."""
+    from kmerdb_tpu.parallel.sharded import all2all_rows_sharded
+    rng = np.random.default_rng(41)
+    pool = rng.integers(0, 1 << 40, size=600, dtype=np.uint64)
+    # few samples + many shared k-mers -> pattern weights > 255
+    samples = [(f"s{i}", np.unique(np.concatenate(
+        [pool[:400], rng.choice(pool, size=150)])))
+        for i in range(5)]
+    db = builder.add_samples(
+        KmerPatternDb(kmer_length=18, fraction=1.0, alphabet_name="nt"),
+        samples)
+    mesh = make_mesh(8)
+    want = intersect.all2all_counts(db)
+    rows = {}
+    all2all_rows_sharded(db, mesh, lambda i, r: rows.__setitem__(
+        i, r.copy()))
+    got = np.stack([rows[i] for i in range(db.n_samples)])
+    np.testing.assert_array_equal(got, want)
