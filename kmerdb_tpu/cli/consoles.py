@@ -260,13 +260,23 @@ def run_all2all(p):
             # large-S memory story: C never fully materializes — row
             # stripes stream straight into the CSV writer, either from
             # the single chip or row-ownership-sharded over the mesh
+            # sparse output: evaluate the count filter on device and
+            # pull only survivor tiles (metric filters are re-applied
+            # host-side by emit(); they can only narrow further, so
+            # the count bounds are a sound superset)
+            cell_bounds = None
+            if filt is not None:
+                kb = p.kmer_filter.bounds
+                cell_bounds = (max(1, int(kb[0])),
+                               min(0xFFFFFFFF, int(kb[1])))
             try:
                 if mesh is not None:
                     from ..parallel import sharded
                     sharded.all2all_rows_sharded(db, mesh, emit)
                 else:
                     from ..ops import device_a2a
-                    device_a2a.all2all_device_rows(db, emit)
+                    device_a2a.all2all_device_rows(
+                        db, emit, cell_bounds=cell_bounds)
                 streamed = True
             except Exception as e:
                 log.normal(f"WARNING: streamed device all2all failed, "

@@ -235,7 +235,8 @@ def _fill_packed(gp, rows, offs, sids, w, buf, wbuf):
 
 
 def all2all_device_rows(db: KmerPatternDb, row_handler,
-                        stripe_rows: int | None = None) -> None:
+                        stripe_rows: int | None = None,
+                        cell_bounds: tuple | None = None) -> None:
     """Streamed large-S device all2all: C is computed in row stripes
     (device holds ONE stripe, never the full matrix) and each finished
     global row is handed to row_handler(i, uint32[S]) in order — the
@@ -246,7 +247,16 @@ def all2all_device_rows(db: KmerPatternDb, row_handler,
     Packed incidence groups are pushed once and stay device-resident
     when they fit KMERDB_A2A_RESIDENT_MB (default 4096); above that
     they are re-packed per stripe from the bounded host scratch.
-    """
+
+    cell_bounds=(lo, hi): sparse-output mode — the inclusive count
+    filter is evaluated ON DEVICE (pallas_gram.filter_colsum) and only
+    survivor-bearing 128x128 tiles are pulled (gather_tiles), so the
+    dominant streamed-sparse cost (pulling dense stripes about to be
+    discarded, ~10 MB/s on tunneled rigs) scales with the survivors,
+    not with S^2.  Cells outside the bounds arrive as 0 in the handed
+    rows (callers' filters map them to 0/omitted anyway — the caller
+    must pass bounds at least as wide as its own count filter).
+    Reference role: SparseMatrix::compact2, src/array.h:392-446."""
     jax, jnp = jax_modules()
     from . import pallas_gram
     from ..utils import native
@@ -297,14 +307,75 @@ def all2all_device_rows(db: KmerPatternDb, row_handler,
     # u16 stripe pulls when every count fits (see all2all_device)
     counts_max = int(db.sample_kmer_counts.max()) \
         if db.sample_kmer_counts.size else 0
+    narrow = counts_max < (1 << 16)
     cast_exec = None
-    if counts_max < (1 << 16):
+    if narrow:
         cast_exec = jax.jit(functools.partial(
             pallas_gram.cast_rows, dtype=jnp.uint16,
             interpret=interp)).lower(
             jax.ShapeDtypeStruct((stripe_rows, S_pad),
                                  jnp.uint32)).compile()
+    filt_exec = None
+    if cell_bounds is not None:
+        filt_exec = jax.jit(functools.partial(
+            pallas_gram.filter_colsum, interpret=interp)).lower(
+            jax.ShapeDtypeStruct((stripe_rows, S_pad), jnp.uint32),
+            jax.ShapeDtypeStruct((2,), jnp.int32)).compile()
     t_compile = time.perf_counter() - tc0
+
+    gather_execs = {}
+    pull_dt = jnp.uint16 if narrow else jnp.uint32
+    pull_bytes = 2 if narrow else 4
+    b_enc = pallas_gram.bias_bounds(*cell_bounds) \
+        if cell_bounds is not None else None
+    sparse_stats = {"tiles_pulled": 0, "tiles_total": 0,
+                    "dense_fallbacks": 0}
+
+    def pull_sparse(C):
+        """Survivor-tile pull of one stripe; returns the dense u32
+        stripe with non-survivor cells zeroed."""
+        T = pallas_gram.TILE
+        cnts = np.asarray(filt_exec(C, b_enc))
+        tile_cnt = cnts.reshape(stripe_rows // T, S_pad // T, T).sum(2)
+        it, jt = np.nonzero(tile_cnt)
+        sparse_stats["tiles_total"] += tile_cnt.size
+        if it.size * T * T * pull_bytes >= stripe_rows * S_pad * pull_bytes:
+            # filter not selective at tile level: dense pull is cheaper
+            # (the out-of-bounds zeroing moves to the host to keep the
+            # handed-rows contract identical to the sparse pull)
+            sparse_stats["dense_fallbacks"] += 1
+            sparse_stats["tiles_pulled"] += tile_cnt.size
+            d = np.asarray(cast_exec(C) if cast_exec is not None
+                           else C).astype(np.uint32, copy=False)
+            lo, hi = cell_bounds
+            return np.where((d >= lo) & (d <= hi), d, 0)
+        out = np.zeros((stripe_rows, S_pad), dtype=np.uint32)
+        if it.size:
+            # pow2 buckets keep the compiled gather-program count small
+            n_pad = max(64, 1 << (int(it.size) - 1).bit_length())
+            it_p = np.zeros(n_pad, np.int32)
+            jt_p = np.zeros(n_pad, np.int32)
+            it_p[:it.size] = it
+            jt_p[:it.size] = jt
+            if n_pad not in gather_execs:
+                gather_execs[n_pad] = jax.jit(functools.partial(
+                    pallas_gram.gather_tiles, dtype=pull_dt,
+                    interpret=interp)).lower(
+                    jax.ShapeDtypeStruct((stripe_rows, S_pad),
+                                         jnp.uint32),
+                    jax.ShapeDtypeStruct((n_pad,), jnp.int32),
+                    jax.ShapeDtypeStruct((n_pad,), jnp.int32)).compile()
+            tiles = np.asarray(gather_execs[n_pad](C, it_p, jt_p)
+                               ).astype(np.uint32, copy=False)
+            # survivor-bearing tiles still carry their non-survivor
+            # cells; zero them so the handed rows match the contract
+            lo, hi = cell_bounds
+            tiles = np.where((tiles >= lo) & (tiles <= hi), tiles, 0)
+            for t in range(it.size):
+                out[it[t] * T:(it[t] + 1) * T,
+                    jt[t] * T:(jt[t] + 1) * T] = tiles[t]
+            sparse_stats["tiles_pulled"] += int(it.size)
+        return out
 
     buf = native.alloc_array(group_rows // 8 * S_pad, np.uint8,
                              populate=False).reshape(group_rows // 8,
@@ -348,8 +419,11 @@ def all2all_device_rows(db: KmerPatternDb, row_handler,
         for (Bp, wg), n_limbs, rows in it:
             C = execs[(n_limbs, rows)](rt0_arr, C, Bp, wg)
             flops += 2.0 * rows * stripe_rows * S_pad * n_limbs
-        stripe = np.asarray(cast_exec(C) if cast_exec is not None
-                            else C).astype(np.uint32, copy=False)
+        if filt_exec is not None:
+            stripe = pull_sparse(C)
+        else:
+            stripe = np.asarray(cast_exec(C) if cast_exec is not None
+                                else C).astype(np.uint32, copy=False)
         base = rt0 * TILE
         for i in range(max(next_row, base), min(base + stripe_rows, S)):
             row_handler(i, stripe[i - base, :S])
@@ -364,6 +438,8 @@ def all2all_device_rows(db: KmerPatternDb, row_handler,
         "resident_groups": resident, "flops": flops,
         "compile_s": t_compile, "total_s": time.perf_counter() - t0,
     })
+    if cell_bounds is not None:
+        last_stats["sparse_pull"] = dict(sparse_stats)
 
 
 def kernel_bench(db: KmerPatternDb, n1: int = 2, n2: int = 6) -> dict:

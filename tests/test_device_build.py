@@ -107,3 +107,53 @@ def test_device_build_k32_all_set_key():
     for f in _FIELDS:
         np.testing.assert_array_equal(getattr(db_host, f),
                                       getattr(db_dev, f), err_msg=f)
+
+
+def test_streamed_sparse_pull_matches_filtered_dense():
+    """Device-side filter/sparsify before the pull (filter_colsum +
+    gather_tiles): rows handed out equal the dense stripe rows with
+    out-of-bounds cells zeroed; survivors are bit-exact."""
+    from kmerdb_tpu.ops import intersect, device_a2a
+    rng = np.random.default_rng(37)
+    samples = [(f"s{i}", np.unique(rng.integers(
+        0, 1 << 20, size=int(rng.integers(300, 1500))).astype(np.uint64)))
+        for i in range(150)]
+    db = builder.add_samples(
+        KmerPatternDb(kmer_length=18, fraction=1.0, alphabet_name="nt"),
+        samples)
+    C = intersect.all2all_counts(db)
+    for lo, hi in ((1, 0xFFFFFFFF), (50, 0xFFFFFFFF), (30, 200),
+                   (10**9, 0xFFFFFFFF)):
+        want = np.where((C >= lo) & (C <= hi), C, 0)
+        rows = {}
+        device_a2a.all2all_device_rows(
+            db, lambda i, r: rows.__setitem__(i, r.copy()),
+            stripe_rows=128, cell_bounds=(lo, hi))
+        got = np.stack([rows[i] for i in range(db.n_samples)])
+        np.testing.assert_array_equal(got, want, err_msg=f"{lo}-{hi}")
+        sp = device_a2a.last_stats.get("sparse_pull", {})
+        assert sp.get("tiles_total", 0) > 0
+
+
+def test_cli_sparse_stream_device_filter(tmp_path, monkeypatch):
+    """`all2all -sparse -min N` through the forced streamed tier:
+    byte-identical to the matrix path (device count filter is a
+    superset; emit() re-applies the exact filter)."""
+    from kmerdb_tpu.cli.main import main as cli
+    rng = np.random.default_rng(43)
+    paths = []
+    for i in range(24):
+        seq = "".join(rng.choice(list("ACGT"), size=800))
+        f = tmp_path / f"s{i}.fasta"
+        f.write_text(f">s{i}\n{seq}\n")
+        paths.append(str(f))
+    lst = tmp_path / "samples.list"
+    lst.write_text("\n".join(paths) + "\n")
+    assert cli(["build", "-k", "14", str(lst), str(tmp_path / "db")]) == 0
+    assert cli(["all2all", "-sparse", "-min", "2",
+                str(tmp_path / "db"), str(tmp_path / "dense.csv")]) == 0
+    monkeypatch.setenv("KMERDB_A2A_STREAM", "1")
+    assert cli(["all2all", "-sparse", "-min", "2",
+                str(tmp_path / "db"), str(tmp_path / "stream.csv")]) == 0
+    assert (tmp_path / "dense.csv").read_bytes() == \
+        (tmp_path / "stream.csv").read_bytes()
