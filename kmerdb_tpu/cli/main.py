@@ -88,6 +88,12 @@ def main(argv=None) -> int:
                       else log.VERBOSE if params.verbose else log.NORMAL)
         from ..parallel import runtime
         runtime.configure(params.mesh)
+        if params.num_threads:
+            # -t reaches the native host kernels too (the reference's
+            # numThreads feeds every worker pool, params.cpp:103-108);
+            # 0/absent = auto (hardware_concurrency)
+            from ..utils import native
+            native.set_threads(params.num_threads)
         if params.mode == "all2all-parts":
             from .parts import run_all2all_parts
             run_all2all_parts(params)

@@ -97,18 +97,35 @@ def run_all2all_parts(p):
             from ..ops import fused
             want_grid = fused.device_worthwhile(
                 int(sum(part_sizes)), int(sum(sample_counts)))
+        grid_stream = None
         if want_grid:
             from ..ops import fused
             from ..ops.pallas_gram import on_tpu
             if genv == "1" or on_tpu():
                 from ..utils import log
-                all_parts = [get_part(i) for i in range(len(part_fns))]
-                try:
-                    grid_cells = fused.grid_group_counts(all_parts)
-                except Exception as e:
-                    log.normal(f"WARNING: device grid tier failed, "
-                               f"falling back to per-cell kernels: {e}")
-                    grid_cells = None
+                # varint DBs expand ~2-4x in RAM; when the expanded
+                # parts cannot all sit inside the cache budget, stream
+                # the grid one row-part at a time (device-resident row
+                # incidence, once-per-row pushes) instead of abandoning
+                # the device tier (KMERDB_GRID_STREAM=1/0 forces)
+                senv = os.environ.get("KMERDB_GRID_STREAM", "")
+                est = sum(os.path.getsize(fn) for fn in part_fns) * 4
+                stream = senv == "1" or (senv != "0"
+                                         and est > cache_budget)
+                if stream:
+                    grid_stream = fused.grid_rows_streamed(
+                        get_part, part_sizes,
+                        max_count=max(sample_counts, default=0))
+                else:
+                    all_parts = [get_part(i)
+                                 for i in range(len(part_fns))]
+                    try:
+                        grid_cells = fused.grid_group_counts(all_parts)
+                    except Exception as e:
+                        log.normal(f"WARNING: device grid tier failed, "
+                                   f"falling back to per-cell kernels: "
+                                   f"{e}")
+                        grid_cells = None
 
         for i_row, fn_row in enumerate(part_fns):
             from ..utils import log
@@ -116,11 +133,22 @@ def run_all2all_parts(p):
             db_row = get_part(i_row)
             row_filter_counts = db_row.sample_kmer_counts
 
+            row_cells_dev = None
+            if grid_stream is not None:
+                try:
+                    _, row_cells_dev = next(grid_stream)
+                except Exception as e:
+                    log.normal(f"WARNING: streamed device grid failed, "
+                               f"falling back to per-cell kernels: {e}")
+                    grid_stream = None
+
             # cell matrices of this grid row, keyed by i_col
             cells = {}
             for i_col in range(i_row):
                 db_col = get_part(i_col)
-                if grid_cells is not None:
+                if row_cells_dev is not None:
+                    X = row_cells_dev[i_col]
+                elif grid_cells is not None:
                     X = grid_cells[(i_row, i_col)]
                 elif mesh is not None:
                     from ..parallel import sharded
@@ -139,7 +167,9 @@ def run_all2all_parts(p):
                     cells[i_col] = _filtered_pairs_matrix(X, filt)
 
             # diagonal cell
-            if grid_cells is not None:
+            if row_cells_dev is not None:
+                C = row_cells_dev[i_row]
+            elif grid_cells is not None:
                 C = grid_cells[(i_row, i_row)]
             elif mesh is not None:
                 from ..parallel import sharded

@@ -52,7 +52,10 @@ _ENV = {
 }
 
 #: bump when the probe protocol changes (invalidates old caches)
-_VERSION = 1
+#: v2: host kernels are threaded — host_rate/host_rate_big/fill_Bps
+#: are now measured at the machine's thread count (recorded as
+#: host_threads), so v1 single-thread rates underestimate real hosts
+_VERSION = 2
 
 
 def cache_path() -> pathlib.Path:
@@ -197,6 +200,10 @@ def _probe_host() -> dict:
         return n_pat * plen * plen / max(dt, 1e-6)
 
     if native.available:
+        # the threaded kernels use their live thread count, so these
+        # rates reflect the machine's parallel host tier; the count is
+        # recorded so a calibration from a different -t is explainable
+        res["host_threads"] = native.get_threads()
         res["host_rate"] = scatter_rate(512, 20_000, 24)
         res["host_rate_big"] = scatter_rate(2048, 8_000, 24)
         # fill: bit-packed incidence of 20k patterns x 2048 samples

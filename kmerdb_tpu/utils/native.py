@@ -30,7 +30,7 @@ def _build() -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-             "-o", str(_LIB), str(_SRC)],
+             "-pthread", "-o", str(_LIB), str(_SRC)],
             check=True, capture_output=True, timeout=120)
         return True
     except (subprocess.SubprocessError, FileNotFoundError):
@@ -131,11 +131,35 @@ def _init():
     lib.kmerdb_vb_encode_u32.argtypes = [ctypes.c_int64, u32p, u8p]
     lib.kmerdb_vb_decode_u32.restype = None
     lib.kmerdb_vb_decode_u32.argtypes = [ctypes.c_int64, u8p, u32p]
+    lib.kmerdb_set_threads.restype = None
+    lib.kmerdb_set_threads.argtypes = [ctypes.c_int32]
+    lib.kmerdb_get_threads.restype = ctypes.c_int32
+    lib.kmerdb_get_threads.argtypes = []
     _lib = lib
     available = True
+    env_t = os.environ.get("KMERDB_THREADS")
+    if env_t:
+        try:
+            lib.kmerdb_set_threads(int(env_t))
+        except ValueError:
+            pass
 
 
 _init()
+
+
+def set_threads(n: int) -> None:
+    """Host kernel thread count (the reference's -t reaching its spin
+    pool, params.cpp:103-108): 0 = auto (hardware_concurrency).  The
+    threaded kernels (blocked all2all scatter, radix sort, incidence
+    bit-fill) are byte-identical at any count — uint32 adds commute
+    and every thread owns disjoint output bytes."""
+    if available:
+        _lib.kmerdb_set_threads(int(n))
+
+
+def get_threads() -> int:
+    return int(_lib.kmerdb_get_threads()) if available else 1
 
 
 def _p(a, t):

@@ -12,15 +12,49 @@
 // Exposed as a plain C ABI consumed via ctypes (utils/native.py).
 
 #include <algorithm>
+#include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <thread>
 #include <vector>
 
 #if defined(__linux__)
 #include <malloc.h>
 #include <sys/mman.h>
 #endif
+
+// ---------------------------------------------------------------------------
+// Host thread pool (the reference runs every hot loop on a spin pool,
+// libs/refresh/active_thread_pool/lib/active_thread_pool.h:368; here
+// the hot kernels fork/join std::threads per call — spawn cost is
+// ~10-50us against multi-second kernels, and idle CPUs cost nothing
+// between calls).  Thread count: kmerdb_set_threads() (wired to the
+// CLI's -t and KMERDB_THREADS) else hardware_concurrency.
+// ---------------------------------------------------------------------------
+
+static std::atomic<int32_t> g_threads{0};  // 0 = auto
+
+extern "C" void kmerdb_set_threads(int32_t n) { g_threads.store(n); }
+
+extern "C" int32_t kmerdb_get_threads(void) {
+    int32_t n = g_threads.load();
+    if (n > 0) return n;
+    unsigned hc = std::thread::hardware_concurrency();
+    return hc ? (int32_t)hc : 1;
+}
+
+// run fn(t) for t in [0, nt); the calling thread runs t = 0
+template <class F>
+static void run_parallel(int nt, const F& fn) {
+    if (nt <= 1) { fn(0); return; }
+    std::vector<std::thread> ths;
+    ths.reserve(nt - 1);
+    for (int t = 1; t < nt; ++t) ths.emplace_back(fn, t);
+    fn(0);
+    for (auto& th : ths) th.join();
+}
 
 extern "C" {
 
@@ -197,10 +231,73 @@ static int radix_histograms(int64_t n, const uint64_t* src,
     return live;
 }
 
+// One stable parallel scatter pass: per-thread chunk histograms, then
+// exclusive digit+chunk prefix bases (chunks in index order keep the
+// scatter stable), then each thread scatters its own chunk.
+static void radix_pass_parallel(int64_t n, const uint64_t* src,
+                                uint64_t* dst, int sh, int nt) {
+    std::vector<int64_t> hist((size_t)nt * 256, 0);
+    auto chunk = [&](int t, int64_t* lo, int64_t* hi) {
+        *lo = n * t / nt;
+        *hi = n * (t + 1) / nt;
+    };
+    run_parallel(nt, [&](int t) {
+        int64_t lo, hi;
+        chunk(t, &lo, &hi);
+        int64_t* h = hist.data() + (size_t)t * 256;
+        for (int64_t i = lo; i < hi; ++i) ++h[(src[i] >> sh) & 0xff];
+    });
+    int64_t sum = 0;
+    for (int d = 0; d < 256; ++d) {
+        for (int t = 0; t < nt; ++t) {
+            int64_t c = hist[(size_t)t * 256 + d];
+            hist[(size_t)t * 256 + d] = sum;
+            sum += c;
+        }
+    }
+    run_parallel(nt, [&](int t) {
+        int64_t lo, hi;
+        chunk(t, &lo, &hi);
+        int64_t* base = hist.data() + (size_t)t * 256;
+        for (int64_t i = lo; i < hi; ++i)
+            dst[base[(src[i] >> sh) & 0xff]++] = src[i];
+    });
+}
+
 void kmerdb_radix_sort_k(int64_t n, uint64_t* keys, uint64_t* tkeys) {
     if (n <= 1) return;
     uint64_t* src = keys;
     uint64_t* dst = tkeys;
+    int nt = kmerdb_get_threads();
+    // parallel pay-off needs ~1M+ elements (2 reads/pass vs the serial
+    // path's single fused histogram read)
+    if (nt > 1 && n >= (1 << 20)) {
+        if (nt > 16) nt = 16;
+        // live-pass detection: one parallel histogram read of all 8
+        // digit positions
+        std::vector<int64_t> counts8((size_t)nt * 8 * 256, 0);
+        run_parallel(nt, [&](int t) {
+            const int64_t lo = n * t / nt, hi = n * (t + 1) / nt;
+            int64_t* h = counts8.data() + (size_t)t * 8 * 256;
+            for (int64_t i = lo; i < hi; ++i) {
+                uint64_t x = src[i];
+                for (int pass = 0; pass < 8; ++pass)
+                    ++h[pass * 256 + ((x >> (pass * 8)) & 0xff)];
+            }
+        });
+        for (int pass = 0; pass < 8; ++pass) {
+            int64_t top = 0;
+            const int d0 = (int)((src == keys ? keys[0] : src[0])
+                                 >> (pass * 8)) & 0xff;
+            for (int t = 0; t < nt; ++t)
+                top += counts8[(size_t)t * 8 * 256 + pass * 256 + d0];
+            if (top == n) continue;  // constant digit: skip the pass
+            radix_pass_parallel(n, src, dst, pass * 8, nt);
+            uint64_t* tmp = src; src = dst; dst = tmp;
+        }
+        if (src != keys) memcpy(keys, src, (size_t)n * 8);
+        return;
+    }
     int64_t counts[8][256];  // 16 KB, fine on the stack
     const int live = radix_histograms(n, keys, counts);
     for (int pass = 0; pass < 8; ++pass) {
@@ -603,13 +700,38 @@ void kmerdb_fill_incidence(int64_t n_el, const int32_t* rows,
 void kmerdb_fill_incidence_bits(int64_t n, const int64_t* pids,
                                 const int64_t* offs, const uint32_t* sids,
                                 int64_t row_stride, uint8_t* out) {
-    for (int64_t i = 0; i < n; ++i) {
-        uint8_t* row = out + (i >> 3) * row_stride;
-        uint8_t bit = (uint8_t)(1u << (i & 7));
-        int64_t p = pids[i];
-        for (int64_t j = offs[p]; j < offs[p + 1]; ++j)
-            row[sids[j]] |= bit;
+    int nt = kmerdb_get_threads();
+    if (nt > 16) nt = 16;
+    if (nt <= 1 || n < (16 << 10)) {
+        for (int64_t i = 0; i < n; ++i) {
+            uint8_t* row = out + (i >> 3) * row_stride;
+            uint8_t bit = (uint8_t)(1u << (i & 7));
+            int64_t p = pids[i];
+            for (int64_t j = offs[p]; j < offs[p + 1]; ++j)
+                row[sids[j]] |= bit;
+        }
+        return;
     }
+    // dynamic 8-ALIGNED chunks: eight consecutive i's share a packed
+    // byte row, so chunk edges on multiples of 8 give each byte row to
+    // exactly one thread (the |= RMW never races); dynamic stealing
+    // rides out the ragged per-pattern CSR lengths
+    const int64_t CH = 8 << 10;
+    std::atomic<int64_t> next{0};
+    run_parallel(nt, [&](int) {
+        for (;;) {
+            const int64_t c0 = next.fetch_add(CH);
+            if (c0 >= n) break;
+            const int64_t c1 = c0 + CH < n ? c0 + CH : n;
+            for (int64_t i = c0; i < c1; ++i) {
+                uint8_t* row = out + (i >> 3) * row_stride;
+                uint8_t bit = (uint8_t)(1u << (i & 7));
+                int64_t p = pids[i];
+                for (int64_t j = offs[p]; j < offs[p + 1]; ++j)
+                    row[sids[j]] |= bit;
+            }
+        }
+    });
 }
 
 // Variant with explicit (non-consecutive) row indices: element i's
@@ -738,21 +860,48 @@ static void a2a_dense_blocked(int64_t n_patterns, const int64_t* offs,
                               uint32_t* C) {
     const int64_t nb = (n_samples + tile - 1) / tile;
     // cuts[p*(nb+1)+k] = first index in [offs[p], offs[p+1]) with
-    // sid >= k*tile (one linear pass; ids are ascending)
+    // sid >= k*tile (one linear pass; ids are ascending); patterns are
+    // independent, so the precompute forks over pattern ranges
     std::vector<int64_t> cuts((size_t)n_patterns * (nb + 1));
-    for (int64_t p = 0; p < n_patterns; ++p) {
-        const int64_t hi = offs[p + 1];
-        int64_t a = offs[p];
-        int64_t* cp = cuts.data() + p * (nb + 1);
-        for (int64_t k = 0; k < nb; ++k) {
-            const uint32_t bound = (uint32_t)(k * tile);
-            while (a < hi && sids[a] < bound) ++a;
-            cp[k] = a;
-        }
-        cp[nb] = hi;
+    {
+        int ct = kmerdb_get_threads();
+        if (ct > 16) ct = 16;
+        if (n_patterns < (16 << 10)) ct = 1;
+        run_parallel(ct, [&](int t) {
+            const int64_t p0 = n_patterns * t / ct;
+            const int64_t p1 = n_patterns * (t + 1) / ct;
+            for (int64_t p = p0; p < p1; ++p) {
+                const int64_t hi = offs[p + 1];
+                int64_t a = offs[p];
+                int64_t* cp = cuts.data() + p * (nb + 1);
+                for (int64_t k = 0; k < nb; ++k) {
+                    const uint32_t bound = (uint32_t)(k * tile);
+                    while (a < hi && sids[a] < bound) ++a;
+                    cp[k] = a;
+                }
+                cp[nb] = hi;
+            }
+        });
     }
-    for (int64_t bi = 0; bi < nb; ++bi) {
-        for (int64_t bj = 0; bj <= bi; ++bj) {
+    // (bi, bj) tiles write disjoint C regions (rows from block bi,
+    // columns from block bj), so the tile-pair list is embarrassingly
+    // parallel; dynamic stealing balances the heavier diagonal tiles
+    const int64_t n_pairs = nb * (nb + 1) / 2;
+    int nt = kmerdb_get_threads();
+    if (nt > 16) nt = 16;
+    if ((int64_t)nt > n_pairs) nt = (int)n_pairs;
+    std::atomic<int64_t> next{0};
+    run_parallel(nt, [&](int) {
+        for (;;) {
+            const int64_t t = next.fetch_add(1);
+            if (t >= n_pairs) break;
+            // t-th lower-triangle pair: bi = largest with
+            // bi*(bi+1)/2 <= t
+            int64_t bi = (int64_t)((std::sqrt(8.0 * (double)t + 1.0)
+                                    - 1.0) / 2.0);
+            while ((bi + 1) * (bi + 2) / 2 <= t) ++bi;
+            while (bi * (bi + 1) / 2 > t) --bi;
+            const int64_t bj = t - bi * (bi + 1) / 2;
             for (int64_t p = 0; p < n_patterns; ++p) {
                 const int64_t* cp = cuts.data() + p * (nb + 1);
                 const int64_t i0 = cp[bi], i1 = cp[bi + 1];
@@ -777,7 +926,7 @@ static void a2a_dense_blocked(int64_t n_patterns, const int64_t* offs,
                 }
             }
         }
-    }
+    });
 }
 
 void kmerdb_a2a_dense(int64_t n_patterns, const int64_t* offs,

@@ -329,3 +329,64 @@ def test_cli_sp_from_fasta_minhash_input(tmp_path, reference_test_dir):
     assert cli(["all2all-sp", "-from-fasta", "-from-minhash",
                 "-min", "2", str(lst), str(b)]) == 0
     assert a.read_bytes() == b.read_bytes()
+
+
+def test_grid_rows_streamed_matches_cell_kernels():
+    """Streamed grid tier (row-part resident, once-per-row pushes):
+    every cell equals the per-cell pattern kernels, resident and
+    re-push (tiny KMERDB_A2A_RESIDENT_MB) modes."""
+    rng = np.random.default_rng(9)
+    dbs = _parts_dbs(rng, [9, 5, 12])
+    sizes = [db.n_samples for db in dbs]
+    for budget in (None, "0"):
+        if budget is None:
+            os.environ.pop("KMERDB_A2A_RESIDENT_MB", None)
+        else:
+            os.environ["KMERDB_A2A_RESIDENT_MB"] = budget
+        try:
+            got = {}
+            for i_row, cells in fused.grid_rows_streamed(
+                    lambda i: dbs[i], sizes, max_count=10**9):
+                got[i_row] = cells
+        finally:
+            os.environ.pop("KMERDB_A2A_RESIDENT_MB", None)
+        for i in range(3):
+            np.testing.assert_array_equal(
+                got[i][i], intersect.all2all_counts(dbs[i]),
+                err_msg=f"diag {i} budget={budget}")
+            for j in range(i):
+                np.testing.assert_array_equal(
+                    got[i][j], intersect.db2db_counts(dbs[i], dbs[j]),
+                    err_msg=f"cross {i},{j} budget={budget}")
+
+
+def test_cli_parts_grid_streamed(tmp_path, reference_test_dir):
+    """all2all-parts forced through the streamed grid (cache budget
+    exceeded) == the default path, byte-for-byte."""
+    p1 = reference_test_dir / "virus" / "seqs.part1.list"
+    lines = [l for l in p1.read_text().splitlines() if l.strip()][:16]
+    plists = []
+    for pi in range(4):
+        pl = tmp_path / f"p{pi}.list"
+        pl.write_text("".join(
+            str(reference_test_dir.parent / l.lstrip("./")) + "\n"
+            for l in lines[pi * 4:(pi + 1) * 4]))
+        plists.append(pl)
+    dbl = tmp_path / "dbs.list"
+    entries = []
+    for pi, pl in enumerate(plists):
+        dbp = tmp_path / f"p{pi}.db"
+        assert cli(["build", str(pl), str(dbp)]) == 0
+        entries.append(str(dbp))
+    dbl.write_text("".join(e + "\n" for e in entries))
+    a = tmp_path / "a.pp"
+    b = tmp_path / "b.pp"
+    assert cli(["all2all-parts", "-min", "2", str(dbl), str(a)]) == 0
+    os.environ["KMERDB_GRID_DEVICE"] = "1"
+    os.environ["KMERDB_GRID_STREAM"] = "1"
+    try:
+        assert cli(["all2all-parts", "-min", "2", str(dbl), str(b)]) == 0
+    finally:
+        del os.environ["KMERDB_GRID_DEVICE"]
+        del os.environ["KMERDB_GRID_STREAM"]
+    assert a.read_bytes() == b.read_bytes()
