@@ -42,6 +42,14 @@ V5E_BF16_PEAK = 1.97e14  # FLOP/s, one v5e chip
 V5E_INT8_PEAK = 3.94e14  # int8 MXU rate (the s8 Gram engine's peak)
 
 
+def _phase(name: str) -> None:
+    """Timestamped phase marker on stderr: the scale section runs many
+    minutes of silent device work, and a stalled run must be
+    attributable to a phase (service stall vs compile vs pull)."""
+    print(f"bench: [{time.strftime('%H:%M:%S')}] {name}", file=sys.stderr,
+          flush=True)
+
+
 def bench_quick(base):
     from kmerdb_tpu.utils.bench_corpus import generate
     from kmerdb_tpu.cli.main import main as cli
@@ -126,6 +134,7 @@ def bench_scale(base):
         assert rc == 0, "scale build failed"
     build_s = min(build_times)
 
+    _phase("scale: device all2all (cold)")
     db = dbfile.load_db(db_path, dbfile.PATTERNS)
     S = db.n_samples
     pairs = S * (S - 1) / 2
@@ -163,6 +172,7 @@ def bench_scale(base):
     # recorded error (off-TPU, deaf service, OOM) like every other
     # section — the bench line must always print.
     try:
+        _phase("scale: kernel_bench")
         kb = device_a2a.kernel_bench(db)
     except Exception as e:
         kb = {"error": str(e)[:300],
@@ -174,6 +184,7 @@ def bench_scale(base):
     # database — ingest + merge on host, group Gram on the TPU.  Warm
     # = second call (programs compiled, service warm, arenas grown)
     try:
+        _phase("scale: fused pipeline")
         from kmerdb_tpu.ops import fused as fused_mod
         from kmerdb_tpu.cli import loader
         tf0 = time.perf_counter()
@@ -208,6 +219,7 @@ def bench_scale(base):
 
     # device build tier (VERDICT r2 item 4): record it even where it
     # loses, with the losing phase identified
+    _phase("scale: device build")
     dev_build = {}
     if os.environ.get("KMERDB_BENCH_DEVBUILD", "1") != "0":
         os.environ["KMERDB_BUILD_DEVICE"] = "1"
