@@ -18,7 +18,11 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 # the compiled-on-hardware tests (test_tpu_hardware.py) spawn their
 # own subprocesses with a clean env and are the only TPU-touching
 # path.
-os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+_axon_ips = os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+if _axon_ips is not None:
+    # stashed so the compiled-on-hardware suite's clean-env subprocesses
+    # can re-register the tunneled TPU plugin (test_tpu_hardware._clean_env)
+    os.environ["KMERDB_STASHED_AXON_IPS"] = _axon_ips
 
 import pathlib
 

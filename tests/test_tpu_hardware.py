@@ -49,6 +49,12 @@ def _clean_env():
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     env.pop("XLA_FLAGS", None)
+    # conftest drops PALLAS_AXON_POOL_IPS so CPU-only test processes
+    # never initialize the tunneled TPU client; restore it here — these
+    # subprocesses are exactly the ones meant to reach the real chip
+    stashed = env.pop("KMERDB_STASHED_AXON_IPS", None)
+    if stashed is not None and "PALLAS_AXON_POOL_IPS" not in env:
+        env["PALLAS_AXON_POOL_IPS"] = stashed
     env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
     # these subprocesses ARE hardware probes with their own timeouts:
     # bypass the hwprobe stamp so a stale cross-process verdict can't
