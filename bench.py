@@ -83,12 +83,273 @@ def bench_quick(base):
     }
 
 
+def _dump_partial(out: dict) -> None:
+    """Atomically persist the section-so-far: the parent salvages this
+    file when the subprocess exceeds its deadline mid-phase, so a
+    wedged LAST phase cannot discard the completed ones."""
+    path = os.environ.get("KMERDB_BENCH_PARTIAL")
+    if not path:
+        return
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(out, f)
+    os.replace(tmp, path)
+
+
+def scale_device_section(list_path: str, db_path: str, build_s: float,
+                         phases: set) -> dict:
+    """Everything in the scale section that touches the TPU, grouped
+    so bench_scale can run it in bounded subprocesses: an in-flight
+    tunnel RPC can wedge forever even while the service answers fresh
+    connections (observed 2026-08-19: device-build pull blocked >30
+    min, fresh probe fine), so the parent enforces a deadline and
+    retries the missing phases on a fresh connection instead of
+    hanging the round.  `phases` subsets {a2a, kernel, fused, build};
+    results-so-far persist via _dump_partial after every phase."""
+    import hashlib
+    import numpy as np
+    from kmerdb_tpu.cli.main import main as cli
+    from kmerdb_tpu.io import dbfile
+    from kmerdb_tpu.ops import device_a2a
+
+    out = {}
+    db = dbfile.load_db(db_path, dbfile.PATTERNS)
+    C_dev = None
+
+    if "a2a" in phases:
+        _phase("scale: device all2all (cold)")
+        # device tier: cold (fresh programs in this process) then warm
+        t0 = time.perf_counter()
+        C_dev = device_a2a.all2all_device(db)
+        dev_cold_s = time.perf_counter() - t0
+        st_cold = dict(device_a2a.last_stats)
+        t0 = time.perf_counter()
+        C_dev = device_a2a.all2all_device(db)
+        dev_warm_s = time.perf_counter() - t0
+        st = device_a2a.last_stats
+        out["c_dev_sha"] = hashlib.sha256(
+            np.ascontiguousarray(C_dev)).hexdigest()
+        out["device_all2all_cold_s"] = round(dev_cold_s, 2)
+        out["device_phase_cold_s"] = {k: round(v, 2)
+                                      for k, v in st_cold.items()
+                                      if k.endswith("_s")}
+        out["device_all2all_warm_s"] = round(dev_warm_s, 2)
+        out["device_gram_flops"] = st["flops"]
+        out["device_engine"] = st.get("engine")
+        peak = (V5E_INT8_PEAK if st.get("engine") == "s8"
+                else V5E_BF16_PEAK)
+        out["device_tflops_warm"] = round(
+            st["flops"] / dev_warm_s / 1e12, 2)
+        out["device_mfu_warm_pct"] = round(
+            st["flops"] / dev_warm_s / peak * 100, 2)
+        out["device_phase_s"] = {k: round(v, 2) for k, v in st.items()
+                                 if k.endswith("_s")}
+        _dump_partial(out)
+
+    # kernel-only throughput on this database's resident packed
+    # incidence (VERDICT r2 item 1's first-class metric): chained
+    # aliased calls, pull cost differenced out.  Degrades to a
+    # recorded error (off-TPU, deaf service, OOM) like every other
+    # section — the bench line must always print.
+    if "kernel" in phases:
+        try:
+            _phase("scale: kernel_bench")
+            kb = device_a2a.kernel_bench(db)
+        except Exception as e:
+            kb = {"error": str(e)[:300],
+                  "kernel_tflops": None, "kernel_mfu_pct": None}
+        out["kernel_tflops"] = kb["kernel_tflops"]
+        out["kernel_mfu_pct"] = kb["kernel_mfu_pct"]
+        out["kernel_bench"] = kb
+        _dump_partial(out)
+
+    # fused FASTA->all2all pipeline (ops/fused.py): one process, no
+    # database — ingest + merge on host, group Gram on the TPU.  Warm
+    # = second call (programs compiled, service warm, arenas grown)
+    if "fused" in phases:
+        try:
+            _phase("scale: fused pipeline")
+            from kmerdb_tpu.ops import fused as fused_mod
+            from kmerdb_tpu.cli import loader
+            tf0 = time.perf_counter()
+            streams = [s.kmers for s in loader.iter_samples(
+                list_path, "genome", 18, 1.0, 0.0, "nt", False)]
+            fused_ingest_s = time.perf_counter() - tf0
+            tf0 = time.perf_counter()
+            C_fused = fused_mod.all2all_group_counts(streams)
+            fused_cold_s = time.perf_counter() - tf0
+            fused_mod.last_stats.clear()
+            tf0 = time.perf_counter()
+            C_fused = fused_mod.all2all_group_counts(streams)
+            fused_warm_s = time.perf_counter() - tf0
+            if C_dev is not None:
+                assert np.array_equal(C_fused, C_dev), \
+                    "fused != device pattern path"
+            out["c_fused_sha"] = hashlib.sha256(
+                np.ascontiguousarray(C_fused)).hexdigest()
+            out["fused_pipeline"] = {
+                "ingest_s": round(fused_ingest_s, 2),
+                "pipeline_cold_s": round(fused_ingest_s + fused_cold_s,
+                                         2),
+                "pipeline_warm_s": round(fused_ingest_s + fused_warm_s,
+                                         2),
+                "tier": ("device" if fused_mod.last_stats else "host"),
+                "phase_s": {k: round(v, 2)
+                            for k, v in fused_mod.last_stats.items()
+                            if k.endswith("_s")},
+                "n_groups": fused_mod.last_stats.get("n_groups"),
+                "parity_vs_pattern_path": C_dev is not None,
+                "note": ("FASTA list -> all2all CSV matrix in ONE "
+                         "command (all2all -from-fasta), no database "
+                         "built; byte-identical output to "
+                         "build+all2all"),
+            }
+        except Exception as e:
+            out["fused_pipeline"] = {"error": str(e)[:300]}
+        _dump_partial(out)
+
+    # device build tier (VERDICT r2 item 4): record it even where it
+    # loses, with the losing phase identified.  Run LAST (it compiles
+    # multi-minute XLA sort programs through the tunnel service) and
+    # twice: the first run pays one-time program compiles, the second
+    # is the steady state — both recorded, vs_host on the warm run
+    # (the host build_s is itself a best-of-2).
+    if "build" in phases and \
+            os.environ.get("KMERDB_BENCH_DEVBUILD", "1") != "0":
+        _phase("scale: device build")
+        os.environ["KMERDB_BUILD_DEVICE"] = "1"
+        # one batch -> one pow2 partition shape -> ONE compile of each
+        # device-build program instead of three (byte-invariant:
+        # consoles._build_batch_size)
+        os.environ["KMERDB_BUILD_BATCH"] = "4096"
+        try:
+            import filecmp
+            dbd_path = os.path.join(SCALE_DIR, "bench_scale_dev.db")
+            runs = []
+            identical = True
+            for _ in range(2):
+                if os.path.exists(dbd_path):
+                    os.unlink(dbd_path)
+                t0 = time.perf_counter()
+                rc = cli(["build", list_path, dbd_path])
+                runs.append(round(time.perf_counter() - t0, 2))
+                assert rc == 0
+                identical &= filecmp.cmp(db_path, dbd_path,
+                                         shallow=False)
+                _phase(f"scale: device build pass done ({runs[-1]} s)")
+            os.unlink(dbd_path)
+            out["device_build"] = {
+                "build_cold_s": runs[0],
+                "build_s": runs[-1],
+                "byte_identical_db": identical,
+                "vs_host_build": round(build_s / runs[-1], 3),
+                "cold_note": (
+                    "first pass compiles the merge/dedup XLA sort "
+                    "programs through the tunneled compile service "
+                    "(minutes per shape, no cross-process cache on "
+                    "this rig); warm pass is the steady state"),
+            }
+        except Exception as e:
+            out["device_build"] = {"error": str(e)[:300]}
+        finally:
+            os.environ.pop("KMERDB_BUILD_DEVICE", None)
+            os.environ.pop("KMERDB_BUILD_BATCH", None)
+        _dump_partial(out)
+    return out
+
+
+_DEVICE_PHASES = ("a2a", "kernel", "fused", "build")
+
+
+def _run_device_section(list_path: str, db_path: str,
+                        build_s: float) -> dict:
+    """Run scale_device_section in bounded subprocesses: attempt 1
+    runs every phase; on a timeout the partial-results file is
+    salvaged and ONE retry runs only the phases still missing (fresh
+    process = fresh tunnel connection — wedged-RPC recovery, mirrors
+    tests/test_tpu_hardware._run).  KMERDB_BENCH_DEVICE_TIMEOUT_S caps
+    each attempt (default 2700 s: the a2a+kernel+fused block takes
+    ~6-20 min depending on service warm-up, the device build adds
+    one-time multi-minute program compiles)."""
+    import subprocess
+    timeout = float(os.environ.get("KMERDB_BENCH_DEVICE_TIMEOUT_S",
+                                   "2700"))
+    partial_path = db_path + ".devsec.json"
+    merged = {}
+
+    def missing():
+        need = []
+        if "device_all2all_warm_s" not in merged:
+            need += ["a2a"]
+        if "kernel_bench" not in merged:
+            need += ["kernel"]
+        if "fused_pipeline" not in merged:
+            need += ["fused"]
+        if "device_build" not in merged and \
+                os.environ.get("KMERDB_BENCH_DEVBUILD", "1") != "0":
+            need += ["build"]
+        return need
+
+    err = None
+    for attempt in range(2):
+        need = missing()
+        if not need:
+            break
+        if os.path.exists(partial_path):
+            os.unlink(partial_path)
+        env = dict(os.environ)
+        env["KMERDB_BENCH_PARTIAL"] = partial_path
+        try:
+            # stderr inherited: the child's phase markers / tracebacks
+            # stream live (the driver needs a heartbeat during long
+            # silent device phases)
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--scale-device-sub", list_path, db_path,
+                 repr(build_s), ",".join(need)],
+                timeout=timeout, stdout=subprocess.PIPE, text=True,
+                env=env)
+            if r.returncode == 0:
+                for line in reversed(r.stdout.strip().splitlines()):
+                    try:
+                        merged.update(json.loads(line))
+                        break
+                    except json.JSONDecodeError:
+                        continue
+                else:
+                    err = "device section printed no JSON"
+                continue
+            err = f"device section subprocess exit {r.returncode}"
+        except subprocess.TimeoutExpired:
+            err = (f"device section attempt {attempt + 1} phases="
+                   f"{','.join(need)} exceeded {timeout:.0f} s "
+                   f"(wedged tunnel RPC or compile)")
+        print(f"bench: {err}", file=sys.stderr)
+        # salvage whatever the child persisted before the deadline
+        try:
+            with open(partial_path) as f:
+                merged.update(json.load(f))
+        except (OSError, json.JSONDecodeError):
+            pass
+    if os.path.exists(partial_path):
+        os.unlink(partial_path)
+    still = missing()
+    for ph in still:
+        key = {"a2a": "device_a2a", "kernel": "kernel_bench",
+               "fused": "fused_pipeline", "build": "device_build"}[ph]
+        merged.setdefault(key, {})
+        if isinstance(merged[key], dict):
+            merged[key].setdefault("error", err or "phase not run")
+    if "device_all2all_warm_s" not in merged:
+        merged["error"] = err or "device a2a never completed"
+    return merged
+
+
 def bench_scale(base):
     import numpy as np
     from kmerdb_tpu.utils.bench_corpus import generate_scale
     from kmerdb_tpu.cli.main import main as cli
     from kmerdb_tpu.io import dbfile
-    from kmerdb_tpu.ops import device_a2a
     from kmerdb_tpu.utils import native
 
     # The bench is the once-per-round measurement and the rig's TPU
@@ -117,13 +378,6 @@ def bench_scale(base):
     list_path = generate_scale(SCALE_DIR, n_samples=4096,
                                genome_len=30_000, branch_rate=0.0008)
     db_path = os.path.join(SCALE_DIR, "bench_scale.db")
-    if os.path.exists(db_path):
-        os.unlink(db_path)
-    # absorb the compile service's first-contact init while the build
-    # runs (the service shares this 1-vCPU host; its libtpu pages are
-    # evicted by big host work, so warm it early and run the device
-    # tier BEFORE the host scatter churns memory again)
-    device_a2a.warmup_async()
     build_times = []
     for _ in range(2):
         if os.path.exists(db_path):
@@ -134,121 +388,41 @@ def bench_scale(base):
         assert rc == 0, "scale build failed"
     build_s = min(build_times)
 
-    _phase("scale: device all2all (cold)")
     db = dbfile.load_db(db_path, dbfile.PATTERNS)
     S = db.n_samples
     pairs = S * (S - 1) / 2
 
-    # device tier: cold (fresh programs in this process) then warm
-    t0 = time.perf_counter()
-    C_dev = device_a2a.all2all_device(db)
-    dev_cold_s = time.perf_counter() - t0
-    st_cold = dict(device_a2a.last_stats)
-    t0 = time.perf_counter()
-    C_dev = device_a2a.all2all_device(db)
-    dev_warm_s = time.perf_counter() - t0
-    st = device_a2a.last_stats
-
-    # host tier: measured once per database content and memoized (the
-    # 155 s scatter would otherwise dominate every bench run); the
-    # device/host parity assert still runs on every fresh measurement
+    # host tier first (pure CPU, cannot wedge): measured once per
+    # database content and memoized (the ~2 min scatter would
+    # otherwise dominate every bench run)
+    _phase("scale: host all2all")
     offs = np.ascontiguousarray(db.pattern_offsets, dtype=np.int64)
     sids = np.ascontiguousarray(db.pattern_sample_ids, dtype=np.uint32)
     memo_key = f"{S}-{db.n_patterns}-{db.n_kmers}"
     memo_path = os.path.join(SCALE_DIR, f"host_a2a_{memo_key}.json")
+    import hashlib
     if os.path.exists(memo_path):
-        host_s = json.loads(open(memo_path).read())["host_s"]
+        memo = json.loads(open(memo_path).read())
+        host_s, host_sha = memo["host_s"], memo.get("host_sha")
     else:
         t0 = time.perf_counter()
         C_host = native.a2a_dense(offs, sids, db.pattern_num_kmers, S)
         host_s = time.perf_counter() - t0
-        assert np.array_equal(C_dev, C_host), "device != host at scale"
+        host_sha = hashlib.sha256(
+            np.ascontiguousarray(C_host)).hexdigest()
         with open(memo_path, "w") as f:
-            json.dump({"host_s": host_s}, f)
+            json.dump({"host_s": host_s, "host_sha": host_sha}, f)
 
-    # kernel-only throughput on this database's resident packed
-    # incidence (VERDICT r2 item 1's first-class metric): chained
-    # aliased calls, pull cost differenced out.  Degrades to a
-    # recorded error (off-TPU, deaf service, OOM) like every other
-    # section — the bench line must always print.
-    try:
-        _phase("scale: kernel_bench")
-        kb = device_a2a.kernel_bench(db)
-    except Exception as e:
-        kb = {"error": str(e)[:300],
-              "kernel_tflops": None, "kernel_mfu_pct": None}
-    peak = (V5E_INT8_PEAK if st.get("engine") == "s8"
-            else V5E_BF16_PEAK)
-
-    # fused FASTA->all2all pipeline (ops/fused.py): one process, no
-    # database — ingest + merge on host, group Gram on the TPU.  Warm
-    # = second call (programs compiled, service warm, arenas grown)
-    try:
-        _phase("scale: fused pipeline")
-        from kmerdb_tpu.ops import fused as fused_mod
-        from kmerdb_tpu.cli import loader
-        tf0 = time.perf_counter()
-        streams = [s.kmers for s in loader.iter_samples(
-            list_path, "genome", 18, 1.0, 0.0, "nt", False)]
-        fused_ingest_s = time.perf_counter() - tf0
-        tf0 = time.perf_counter()
-        C_fused = fused_mod.all2all_group_counts(streams)
-        fused_cold_s = time.perf_counter() - tf0
-        fused_mod.last_stats.clear()
-        tf0 = time.perf_counter()
-        C_fused = fused_mod.all2all_group_counts(streams)
-        fused_warm_s = time.perf_counter() - tf0
-        assert np.array_equal(C_fused, C_dev), \
-            "fused != device pattern path"
-        fused = {
-            "ingest_s": round(fused_ingest_s, 2),
-            "pipeline_cold_s": round(fused_ingest_s + fused_cold_s, 2),
-            "pipeline_warm_s": round(fused_ingest_s + fused_warm_s, 2),
-            "tier": ("device" if fused_mod.last_stats else "host"),
-            "phase_s": {k: round(v, 2)
-                        for k, v in fused_mod.last_stats.items()
-                        if k.endswith("_s")},
-            "n_groups": fused_mod.last_stats.get("n_groups"),
-            "parity_vs_pattern_path": True,
-            "note": ("FASTA list -> all2all CSV matrix in ONE command "
-                     "(all2all -from-fasta), no database built; byte-"
-                     "identical output to build+all2all"),
-        }
-    except Exception as e:
-        fused = {"error": str(e)[:300]}
-
-    # device build tier (VERDICT r2 item 4): record it even where it
-    # loses, with the losing phase identified
-    _phase("scale: device build")
-    dev_build = {}
-    if os.environ.get("KMERDB_BENCH_DEVBUILD", "1") != "0":
-        os.environ["KMERDB_BUILD_DEVICE"] = "1"
-        try:
-            dbd_path = os.path.join(SCALE_DIR, "bench_scale_dev.db")
-            if os.path.exists(dbd_path):
-                os.unlink(dbd_path)
-            t0 = time.perf_counter()
-            rc = cli(["build", list_path, dbd_path])
-            dev_build_s = time.perf_counter() - t0
-            assert rc == 0
-            import filecmp
-            identical = filecmp.cmp(db_path, dbd_path, shallow=False)
-            os.unlink(dbd_path)
-            dev_build = {
-                "build_s": round(dev_build_s, 2),
-                "byte_identical_db": identical,
-                "vs_host_build": round(build_s / dev_build_s, 3),
-                "losing_phase": (
-                    "device->host pull of the merged value stream "
-                    "(~0.5 GB at the tunnel's ~10 MB/s) needed for CSR "
-                    "assembly + DB serialization; on directly-attached "
-                    "hosts the pull is PCIe-speed and the sort/segment "
-                    "work rides HBM"),
-            }
-        except Exception as e:
-            dev_build = {"error": str(e)[:300]}
-        finally:
-            os.environ.pop("KMERDB_BUILD_DEVICE", None)
+    dev = _run_device_section(list_path, db_path, build_s)
+    if "error" in dev:
+        raise RuntimeError(f"device section failed: {dev['error']}")
+    if host_sha is not None:
+        assert dev["c_dev_sha"] == host_sha, "device != host at scale"
+        dev["parity_device_vs_host"] = True
+        if dev.get("c_fused_sha") is not None:
+            assert dev["c_fused_sha"] == host_sha, \
+                "fused != host at scale"
+    dev_warm_s = dev["device_all2all_warm_s"]
 
     total_kmers = int(db.sample_kmer_counts.sum())
     return {
@@ -259,36 +433,21 @@ def bench_scale(base):
         "build_s": round(build_s, 2),
         "build_runs_s": [round(t, 2) for t in build_times],
         "host_all2all_s": round(host_s, 2),
-        "device_all2all_cold_s": round(dev_cold_s, 2),
         "device_cold_note": ("cold includes the shared compile/transfer "
                              "service's first-pass warm-up on this tunneled "
                              "rig (measured variance 25 s - 19 min for "
                              "identical work; absent on directly-attached "
                              "TPU hosts) — steady-state is the warm number"),
-        "device_phase_cold_s": {k: round(v, 2) for k, v in st_cold.items()
-                                if k.endswith("_s")},
-        "device_all2all_warm_s": round(dev_warm_s, 2),
         "device_vs_host_speedup": round(host_s / dev_warm_s, 2),
         "pairs_per_s_host": round(pairs / host_s, 1),
         "pairs_per_s_device_warm": round(pairs / dev_warm_s, 1),
-        "device_gram_flops": st["flops"],
-        "device_engine": st.get("engine"),
-        "device_tflops_warm": round(st["flops"] / dev_warm_s / 1e12, 2),
-        "device_mfu_warm_pct": round(
-            st["flops"] / dev_warm_s / peak * 100, 2),
         "device_mfu_note": ("warm MFU divides Gram FLOPs by the WHOLE "
                             "device section (incl. fills, pushes and the "
                             "~10 MB/s tunneled result pull, which dominate "
                             "at this corpus's modest FLOP count) against "
                             "the engine's MXU peak; kernel_tflops below "
                             "is the kernel-only figure on resident data"),
-        "kernel_tflops": kb["kernel_tflops"],
-        "kernel_mfu_pct": kb["kernel_mfu_pct"],
-        "kernel_bench": kb,
-        "fused_pipeline": fused,
-        "device_build": dev_build,
-        "device_phase_s": {k: round(v, 2) for k, v in st.items()
-                           if k.endswith("_s")},
+        **{k: v for k, v in dev.items() if k != "c_dev_sha"},
         "ref_build_s": base.get("scale_reference_build_s"),
         "ref_all2all_s": base.get("scale_reference_all2all_s"),
     }
@@ -455,4 +614,12 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--scale-device-sub":
+        # child mode for _run_device_section: ONE JSON line on stdout
+        phases = (set(sys.argv[5].split(",")) if len(sys.argv) > 5
+                  else set(_DEVICE_PHASES))
+        res = scale_device_section(sys.argv[2], sys.argv[3],
+                                   float(sys.argv[4]), phases)
+        print(json.dumps(res))
+    else:
+        main()

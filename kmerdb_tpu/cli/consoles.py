@@ -23,6 +23,17 @@ from .params import UsageError
 _BUILD_BATCH = 1024  # samples per add_samples batch (memory bound)
 
 
+def _build_batch_size() -> int:
+    """KMERDB_BUILD_BATCH overrides the batch bound (read per call,
+    not at import).  Larger batches mean fewer merge passes AND fewer
+    distinct pow2 partition shapes — each distinct shape compiles its
+    own device-build program, the dominant one-time cost of
+    KMERDB_BUILD_DEVICE=1 on tunneled compile services.  The DB bytes
+    are batch-invariant (set-hash dedup normalizes patterns;
+    verified: KMERDB_BUILD_BATCH={32,128} builds cmp equal)."""
+    return int(os.environ.get("KMERDB_BUILD_BATCH", _BUILD_BATCH))
+
+
 def _log(p, *args):
     print(*args, file=sys.stderr)
 
@@ -91,7 +102,7 @@ def run_build(p):
             raise RuntimeError(
                 "sample minhash fraction differs from database")
         batch.append((s.name, s.kmers))
-        if len(batch) >= _BUILD_BATCH:
+        if len(batch) >= _build_batch_size():
             db = _add_batch(db, batch)
             batch = []
     t1 = time.perf_counter()

@@ -39,8 +39,6 @@ import numpy as np
 
 from .._jaxinit import jax_modules
 
-_SALT1 = np.uint64(0x9E3779B97F4A7C15)
-_SALT2 = np.uint64(0xC2B2AE3D27D4EB4F)
 #: pad key.  For k <= 31 no valid k-mer reaches it; at k = 32 the
 #: all-set key IS a valid k-mer, so the kernel additionally forces a
 #: group boundary at index n_valid — pads always occupy the LAST
@@ -51,12 +49,37 @@ _SALT2 = np.uint64(0xC2B2AE3D27D4EB4F)
 _PAD_KEY = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
-def _mix(z, salt):
+def _mix32(z, salt):
+    """murmur3 fmix32 over a salted u32: the set-hash building block.
+    All-native on TPU (no 64-bit emulation) — the device build's
+    hashes are intentionally DIFFERENT from the host path's 64-bit
+    splitmix (native merge_groups): hashes never mix across the two
+    paths within one add_samples call and never persist, only the
+    grouping they induce must match, which any collision-resistant
+    hash gives."""
     jax, jnp = jax_modules()
     z = z + salt
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return z ^ (z >> np.uint64(31))
+    z = (z ^ (z >> np.uint32(16))) * np.uint32(0x85EBCA6B)
+    z = (z ^ (z >> np.uint32(13))) * np.uint32(0xC2B2AE35)
+    return z ^ (z >> np.uint32(16))
+
+
+#: four independent salts -> four independent 32-bit hash words per
+#: element, each sum-combined over the group (multiset hashing by
+#: sums mod 2^32) = the same 128 bits of set-hash entropy as the host
+#: path's two u64 combines.  Sum (lax cumsum, a native reduce-window
+#: lowering, ~7 s to compile at 2^21) deliberately replaces the
+#: earlier xor prefix combine: jax.lax.associative_scan unrolls a
+#: log-depth slice/concat tree that took ~230 s of the measured 250 s
+#: whole-kernel compile on the rig's service
+_SALTS32 = tuple(np.uint32(s) for s in
+                 (0x9E3779B9, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F))
+
+
+def _pack64(hi, lo):
+    jax, jnp = jax_modules()
+    return (hi.astype(jnp.uint64) << np.uint64(32)) \
+        | lo.astype(jnp.uint64)
 
 
 def _merge_dedup_impl(keys, ranks, vals, n_valid):
@@ -70,65 +93,94 @@ def _merge_dedup_impl(keys, ranks, vals, n_valid):
     first_group) — group/pattern arrays live in N-sized slots; the
     caller slices valid prefixes using the counts it derives from
     newgrp and first_group.
-    """
+
+    TPU has no native 64-bit integers: the original u64 formulation
+    (u64 sort keys, u64 splitmix hashes, u64 scans, i64 indices)
+    compiled into emulated code so large the rig's compile service
+    took 280 s on one 2^21 shape.  Everything here is therefore u32/
+    i32-native — sort on (hi32, lo32) halves, four u32 hash words with
+    u32 xor-/sum-scans, i32 index arithmetic (N < 2^31 enforced by the
+    caller) — and u64s are packed only at the return boundary.  The
+    rank tie-break comes free because pack_streams concatenates
+    streams in rank order with pads at the tail and lax.sort is
+    stable."""
     jax, jnp = jax_modules()
     N = keys.shape[0]
-    ar = jnp.arange(N, dtype=jnp.int64)
+    ar = jnp.arange(N, dtype=jnp.int32)
+    nv = n_valid.astype(jnp.int32)
 
-    ks, _, vs = jax.lax.sort((keys, ranks, vals), num_keys=2)
+    k_hi = (keys >> np.uint64(32)).astype(jnp.uint32)
+    k_lo = keys.astype(jnp.uint32)
+    hi_s, lo_s, vs = jax.lax.sort((k_hi, k_lo, vals), num_keys=2,
+                                  is_stable=True)
 
     newgrp = jnp.concatenate([
         jnp.ones(1, dtype=bool),
-        (ks[1:] != ks[:-1]) | (ar[1:] == n_valid)])
-    gid = jnp.cumsum(newgrp.astype(jnp.int64)) - 1
+        (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])
+        | (ar[1:] == nv)])
+    gid = jnp.cumsum(newgrp.astype(jnp.int32), dtype=jnp.int32) - 1
 
-    v64 = vs.astype(jnp.uint64)
-    e1 = _mix(v64, _SALT1)
-    e2 = _mix(v64, _SALT2)
-    cx = jax.lax.associative_scan(jnp.bitwise_xor, e1)
-    cs = jnp.cumsum(e2)
+    # set-hash words: four sum-combined channels (mod 2^32)
+    scans = [jnp.cumsum(_mix32(vs, s), dtype=jnp.uint32)
+             for s in _SALTS32]
 
-    seg = functools.partial(jax.ops.segment_min, num_segments=N)
-    gstart = seg(ar, gid)
+    gstart = jax.ops.segment_min(ar, gid, num_segments=N)
     gend = jax.ops.segment_max(ar, gid, num_segments=N)
-    glen = jax.ops.segment_sum(jnp.ones(N, jnp.int64), gid,
+    glen = jax.ops.segment_sum(jnp.ones(N, jnp.int32), gid,
                                num_segments=N)
     start_c = jnp.clip(gstart, 0, N - 1)
     end_c = jnp.clip(gend, 0, N - 1)
-    gkey = ks[start_c]
-    h1 = cx[end_c] ^ jnp.where(start_c > 0, cx[start_c - 1],
-                               jnp.uint64(0))
-    h2 = cs[end_c] - jnp.where(start_c > 0, cs[start_c - 1],
-                               jnp.uint64(0))
-    # empty (padding) group slots: neutral triples that can never
-    # match a real group (glen >= 1)
-    empty = glen == 0
-    h1 = jnp.where(empty, jnp.uint64(0), h1)
-    h2 = jnp.where(empty, jnp.uint64(0), h2)
 
-    # ---- pattern dedup: cluster identical (h1, h2, glen) triples,
-    # then rank clusters by first-occurrence group index (= the host's
-    # first-touch id order).  Empty slots cluster together (glen 0)
-    # and rank last because their first group index is maximal.
-    gi = jnp.arange(N, dtype=jnp.int64)
-    h1s, h2s, lens_s, gis = jax.lax.sort((h1, h2, glen, gi), num_keys=3)
+    def group_delta(scan, combine):
+        prev = jnp.where(start_c > 0, scan[start_c - 1], jnp.uint32(0))
+        return combine(scan[end_c], prev)
+
+    empty = glen == 0
+
+    def mask_empty(w):
+        return jnp.where(empty, jnp.uint32(0), w)
+
+    h1a, h1b, h2a, h2b = (
+        mask_empty(group_delta(c, jnp.subtract)) for c in scans)
+
+    # ---- pattern dedup: cluster identical (hash words, glen)
+    # 5-tuples, then rank clusters by first-occurrence group index
+    # (= the host's first-touch id order).  Empty slots cluster
+    # together (glen 0, zero hashes) and rank last because their
+    # first group index is maximal.  gi rides as an i32 payload
+    # (stable sort keeps it ascending within a cluster).
+    gi = jnp.arange(N, dtype=jnp.int32)
+    sorted6 = jax.lax.sort(
+        (h1a, h1b, h2a, h2b, glen.astype(jnp.uint32), gi),
+        num_keys=5, is_stable=True)
+    gis = sorted6[5]
     newpat = jnp.concatenate([
         jnp.ones(1, dtype=bool),
-        (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
-        | (lens_s[1:] != lens_s[:-1])])
-    cl = jnp.cumsum(newpat.astype(jnp.int64)) - 1
+        functools.reduce(jnp.bitwise_or,
+                         [c[1:] != c[:-1] for c in sorted6[:5]])])
+    cl = jnp.cumsum(newpat.astype(jnp.int32), dtype=jnp.int32) - 1
     # stable sort keeps gis ascending within a cluster
     first_g = jax.ops.segment_min(gis, cl, num_segments=N)
-    # rank clusters by first_g ascending -> final pattern ids
+    # rank clusters by first_g ascending -> final pattern ids.  Clamp
+    # the empty-segment identity (int32 max) to N: it must keep
+    # ranking AFTER every real group index but stay a harmless index
+    # downstream.
+    first_g = jnp.minimum(first_g, jnp.int32(N))
     fg_sorted, cl_perm = jax.lax.sort(
-        (first_g, jnp.arange(N, dtype=jnp.int64)), num_keys=1)
-    pat_id = jnp.zeros(N, dtype=jnp.int64).at[cl_perm].set(
-        jnp.arange(N, dtype=jnp.int64))
+        (first_g, jnp.arange(N, dtype=jnp.int32)),
+        num_keys=1, is_stable=True)
+    pat_id = jnp.zeros(N, dtype=jnp.int32).at[cl_perm].set(
+        jnp.arange(N, dtype=jnp.int32))
     inv_sorted = pat_id[cl]                    # per sorted-group slot
-    inverse = jnp.zeros(N, dtype=jnp.int64).at[gis].set(inv_sorted)
-    first_group = fg_sorted                    # slot p -> group index
+    inverse = jnp.zeros(N, dtype=jnp.int32).at[gis].set(inv_sorted)
 
-    return vs, newgrp, gkey, gstart, glen, h1, h2, inverse, first_group
+    # pack the u32-native results into the u64/i64 return contract
+    gkey = _pack64(hi_s[start_c], lo_s[start_c])
+    h1 = _pack64(h1a, h1b)
+    h2 = _pack64(h2a, h2b)
+    return (vs, newgrp, gkey, gstart.astype(jnp.int64),
+            glen.astype(jnp.int64), h1, h2,
+            inverse.astype(jnp.int64), fg_sorted.astype(jnp.int64))
 
 
 @functools.lru_cache(maxsize=None)
@@ -284,6 +336,11 @@ def merge_dedup_device(sliced_k, sliced_v, cvals):
     jax, jnp = jax_modules()
     n_valid = int(sum(s.size for s in sliced_k))
     N = _next_pow2(max(n_valid, 1))
+    if N >= (1 << 31):
+        # the dedup kernel indexes with i32 (u64 emulation on TPU is
+        # what this module exists to avoid); partitions are bounded to
+        # 8M elements by the builder, so this only guards misuse
+        raise OverflowError("device-build partition exceeds 2^31 slots")
     keys, ranks, vals, _ = pack_streams(sliced_k, sliced_v, cvals, N)
     out = _jit_merge_dedup()(jnp.asarray(keys), jnp.asarray(ranks),
                              jnp.asarray(vals),

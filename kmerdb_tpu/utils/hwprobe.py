@@ -117,6 +117,12 @@ def machine_probe(timeout_s: int = 75) -> bool:
     env.pop("JAX_PLATFORMS", None)
     env.pop("XLA_FLAGS", None)
     env["KMERDB_HW_PROBE"] = "0"          # the probe must not recurse
+    # callers that pinned themselves to CPU by dropping the tunnel
+    # registration (tests/conftest.py, tools/soak_parity.py) stash the
+    # value so machine-level probes can still see the chip
+    stashed = env.pop("KMERDB_STASHED_AXON_IPS", None)
+    if stashed is not None and "PALLAS_AXON_POOL_IPS" not in env:
+        env["PALLAS_AXON_POOL_IPS"] = stashed
     env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
     ok = False
     try:

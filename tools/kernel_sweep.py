@@ -239,14 +239,59 @@ def run_variant(variant, S, P, kt, tile, n1=4, n2=20):
     return res
 
 
+def sweep_on_db(db_path, kts, tiles):
+    """Geometry sweep of the PRODUCTION kernel on a real database's
+    packed incidence (VERDICT r3 item 8: pick_tile's table was derived
+    from the synthetic variant sweep only).  Reuses the exact
+    kernel_bench protocol — chained aliased triangle-Gram calls on the
+    resident incidence, pull cost differenced out — so rows here are
+    directly comparable to BENCH's kernel_tflops, but per (kt, tile)."""
+    import os
+
+    from kmerdb_tpu.io import dbfile
+    from kmerdb_tpu.ops import device_a2a
+
+    db = dbfile.load_db(db_path, dbfile.PATTERNS)
+    rows = []
+    for kt in kts:
+        for tile in tiles:
+            os.environ["KMERDB_A2A_KT"] = str(kt)
+            os.environ["KMERDB_A2A_TILE"] = str(tile)
+            try:
+                kb = device_a2a.kernel_bench(db)
+                msg = {"on_db": db_path, "S": db.n_samples,
+                       "n_patterns": int(db.n_patterns), **kb}
+            except Exception as e:
+                msg = {"on_db": db_path, "kt": kt, "tile": tile,
+                       "error": repr(e)[:300]}
+            finally:
+                os.environ.pop("KMERDB_A2A_KT", None)
+                os.environ.pop("KMERDB_A2A_TILE", None)
+            print(json.dumps(msg), flush=True)
+            rows.append(msg)
+            with open("/tmp/kernel_sweep.jsonl", "a") as f:
+                f.write(json.dumps(msg) + "\n")
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("variants", nargs="+")
+    ap.add_argument("variants", nargs="*")
     ap.add_argument("--S", type=int, default=2048)
     ap.add_argument("--P", type=int, default=1 << 20)
     ap.add_argument("--kt", type=int, default=512)
     ap.add_argument("--tile", type=int, default=128)
+    ap.add_argument("--on-db", default=None, metavar="DB",
+                    help="sweep the production kernel's (kt, tile) "
+                         "geometries on a real database's incidence")
+    ap.add_argument("--kts", default="512,1024,2048")
+    ap.add_argument("--tiles", default="128,256,512")
     args = ap.parse_args()
+    if args.on_db:
+        sweep_on_db(args.on_db,
+                    [int(x) for x in args.kts.split(",")],
+                    [int(x) for x in args.tiles.split(",")])
+        return
     for v in args.variants:
         P = args.P
         if v.startswith("dotonly"):

@@ -32,6 +32,10 @@ import numpy as np
 # its own subprocess with the variable intact.
 os.environ["JAX_PLATFORMS"] = "cpu"
 _AXON_POOL = os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+if _AXON_POOL is not None:
+    # stash (same contract as tests/conftest.py) so hwprobe.machine_probe
+    # subprocesses can still see the chip from this CPU-pinned process
+    os.environ.setdefault("KMERDB_STASHED_AXON_IPS", _AXON_POOL)
 
 #: build with tools/build_reference.sh
 REF = os.environ.get("KMERDB_REF_BIN", "/tmp/refbuild/bin/kmer-db")
