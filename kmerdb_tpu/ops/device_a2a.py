@@ -516,18 +516,43 @@ def kernel_bench(db: KmerPatternDb, n1: int = 2, n2: int = 6) -> dict:
         return time.perf_counter() - t0
 
     chain(1)                      # absorb any service warm-up stall
-    t1, t2 = chain(n1), chain(n2)
-    per_call = max((t2 - t1) / (n2 - n1), 1e-9)
     peak = 3.94e14 if engine == "s8" else 1.97e14
+    # the differenced chains must put MEASURABLE extra work between
+    # them: on small databases one pass is ~10 ms while the constant
+    # result pull is seconds with 100 ms-scale service jitter, so a
+    # fixed (n1, n2) can difference to noise (observed: a negative
+    # delta clamping to an absurd TFLOPS).  Estimate the per-pass time
+    # from one differenced pair, then rescale n2 so the extra work is
+    # >= ~3 s, and sanity-gate the final figure against peak.
+    t1, t2 = chain(n1), chain(n2)
+    per_call = (t2 - t1) / (n2 - n1)
+    est = max(per_call, flops_per_call / peak)
+    need = int(np.ceil(3.0 / est))
+    if n2 - n1 < need:
+        n2 = n1 + min(need, 2000)
+        t1, t2 = chain(n1), chain(n2)
+        per_call = (t2 - t1) / (n2 - n1)
     out = {
         "engine": engine, "kt": KT, "tile": TILE,
         "kernel_flops_per_pass": flops_per_call,
-        "kernel_s_per_pass": round(per_call, 4),
-        "kernel_tflops": round(flops_per_call / per_call / 1e12, 2),
-        "kernel_mfu_pct": round(
-            flops_per_call / per_call / peak * 100, 2),
+        "kernel_chain_lens": [n1, n2],
         "mxu_peak_flops": peak,
     }
+    tflops = flops_per_call / max(per_call, 1e-9) / 1e12
+    if per_call <= 0 or tflops > 1.2 * peak / 1e12:
+        # still differencing into noise: report the failure, never a
+        # physically impossible figure
+        out["error"] = (
+            f"chain differencing unresolvable on this workload "
+            f"(delta {t2 - t1:.3f} s over {n2 - n1} passes)")
+        out["kernel_tflops"] = out["kernel_mfu_pct"] = None
+        return out
+    out.update({
+        "kernel_s_per_pass": round(per_call, 5),
+        "kernel_tflops": round(tflops, 2),
+        "kernel_mfu_pct": round(
+            flops_per_call / per_call / peak * 100, 2),
+    })
     if benched_rows < total_rows:
         out["truncated_to_resident_budget"] = (
             f"benched {benched_rows}/{total_rows} pattern rows "

@@ -34,10 +34,18 @@ the k-mer-range-sharded multi-device build
 """
 
 import functools
+import os
+import sys
+import time
 
 import numpy as np
 
 from .._jaxinit import jax_modules
+
+#: cumulative per-phase wall clock of merge_dedup_device calls in this
+#: process (pack/push+merge/gather/pull); KMERDB_TIMING=1 prints a
+#: line per partition
+last_stats: dict = {}
 
 #: pad key.  For k <= 31 no valid k-mer reaches it; at k = 32 the
 #: all-set key IS a valid k-mer, so the kernel additionally forces a
@@ -341,7 +349,16 @@ def merge_dedup_device(sliced_k, sliced_v, cvals):
         # what this module exists to avoid); partitions are bounded to
         # 8M elements by the builder, so this only guards misuse
         raise OverflowError("device-build partition exceeds 2^31 slots")
+    t0 = time.perf_counter()
+
+    def mark(key):
+        nonlocal t0
+        t1 = time.perf_counter()
+        last_stats[key] = last_stats.get(key, 0.0) + (t1 - t0)
+        t0 = t1
+
     keys, ranks, vals, _ = pack_streams(sliced_k, sliced_v, cvals, N)
+    mark("pack_s")
     out = _jit_merge_dedup()(jnp.asarray(keys), jnp.asarray(ranks),
                              jnp.asarray(vals),
                              jnp.asarray(n_valid, dtype=jnp.int64))
@@ -354,17 +371,25 @@ def merge_dedup_device(sliced_k, sliced_v, cvals):
     n_groups = int(n_groups_d)
     n_pat = int(n_pat_d)
     total = int(total_d)
+    mark("merge_stats_s")
 
     R_pad = _next_pow2(max(total, 1))
     compact = _jit_rep_gather(R_pad)(vs, rep_start, rep_len, out_off,
                                      total_d)
+    mark("gather_s")
 
-    return (_pull_prefix(compact, total),
-            _pull_prefix(gkey, n_groups).copy(),
-            _pull_prefix(out_off, n_pat).astype(np.int64),
-            _pull_prefix(rep_len, n_pat).astype(np.uint64),
-            _pull_prefix(rep_h1, n_pat).copy(),
-            _pull_prefix(rep_h2, n_pat).copy(),
-            _pull_prefix(_jit_i32()(inverse), n_groups
-                         ).astype(np.int64),
-            np.arange(n_pat, dtype=np.int64))
+    res = (_pull_prefix(compact, total),
+           _pull_prefix(gkey, n_groups).copy(),
+           _pull_prefix(out_off, n_pat).astype(np.int64),
+           _pull_prefix(rep_len, n_pat).astype(np.uint64),
+           _pull_prefix(rep_h1, n_pat).copy(),
+           _pull_prefix(rep_h2, n_pat).copy(),
+           _pull_prefix(_jit_i32()(inverse), n_groups
+                        ).astype(np.int64),
+           np.arange(n_pat, dtype=np.int64))
+    mark("pull_s")
+    if os.environ.get("KMERDB_TIMING") == "1":
+        print(f"device_build: N={N} groups={n_groups} pat={n_pat} "
+              + " ".join(f"{k}={v:.2f}" for k, v in last_stats.items()
+                         if k.endswith("_s")), file=sys.stderr)
+    return res
