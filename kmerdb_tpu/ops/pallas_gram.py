@@ -38,12 +38,16 @@ TILE = 128
 #: v5e, P=1M S=2048: kt=1024/tile=512 sustains ~219 TFLOPS vs 9 for
 #: the round-2 bf16 kt=512/tile=128 — the fixed ~600 ns/grid-step cost
 #: dominates small tiles, so the lever is more MACs per step)
-KT_S8 = 1024
+KT_S8 = 2048
 TILE_S8 = 512
 
 #: measured isolated-kernel TFLOPS by output tile edge (int8 engine,
-#: kt=1024; used by pick_tile to trade pad waste against tile rate)
-_S8_TILE_TFLOPS = {128: 28.0, 256: 120.0, 512: 219.0}
+#: kt=2048; used by pick_tile to trade pad waste against tile rate).
+#: Swept on a real 4096-sample database's resident incidence
+#: (tools/kernel_sweep.py --on-db, 2026-08-19; kt=4096 exceeds the
+#: compiler's limits): kt 2048 beats the earlier synthetic-sweep
+#: kt=1024 default at every tile (49->70, 137->170, 243->318)
+_S8_TILE_TFLOPS = {128: 70.0, 256: 170.0, 512: 318.0}
 
 
 def pick_tile(S: int) -> int:
