@@ -42,12 +42,13 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-def _merged_partitions(key_streams):
-    """Yield (merged_vals, gstart, n_groups) per k-mer-range partition
-    of the multiway merge (models/builder.py's partitioning, minus
-    dedup/CSR).  merged_vals[gstart[g]:gstart[g+1]] is group g's
-    ascending sample-id list; values beyond the last group run to
-    merged_vals.size."""
+def _merged_partitions(key_streams, hashes=False):
+    """Yield per k-mer-range partition of the multiway merge
+    (models/builder.py's partitioning, minus dedup/CSR):
+    (merged_vals, gstart, n_groups) — or, with hashes,
+    (merged_vals, gstart, glen, h1, h2).  merged_vals[gstart[g]:
+    gstart[g+1]] is group g's ascending sample-id list; values beyond
+    the last group run to merged_vals.size."""
     from ..models import builder
     from ..utils import native
 
@@ -68,8 +69,114 @@ def _merged_partitions(key_streams):
         if not sliced_k:
             continue
         mv, gk, gstart, glen, h1, h2 = native.merge_groups(
-            sliced_k, sliced_v, cvals, scratch=True, hashes=False)
-        yield mv, gstart, gk.size
+            sliced_k, sliced_v, cvals, scratch=True, hashes=hashes)
+        if hashes:
+            yield mv, gstart, glen, h1, h2
+        else:
+            yield mv, gstart, gk.size
+
+
+class _ShimDb:
+    """Duck-typed KmerPatternDb carrying exactly the fields
+    device_a2a._all2all_device_inner reads, so the fused path reuses
+    the pattern path's weighted light/heavy device pipeline
+    program-for-program."""
+
+    def __init__(self, offs, sids, weights, n_samples, counts_max):
+        self.pattern_offsets = offs
+        self.pattern_sample_ids = sids
+        self.pattern_num_kmers = weights
+        self.n_samples = n_samples
+        self.n_patterns = weights.size
+        # only .max() is consulted (u16-narrowed pull eligibility)
+        self.sample_kmer_counts = np.array([counts_max],
+                                           dtype=np.uint32)
+
+
+def _dedup_patterns(key_streams):
+    """Multiway merge + set-hash dedup WITHOUT the per-kmer CSR or
+    serialization: (offsets, sample_ids, multiplicities, n_groups).
+
+    Exactly the builder's pattern construction (merge_groups +
+    _dedup_groups per partition, then the cross-partition (h1, h2,
+    len) unification of builder._finalize_db) minus everything a
+    one-shot all2all never reads — the per-kmer inverse (110M-entry
+    CSR at the scale corpus) and the varint container.  Multiplicity
+    per pattern = its unique-k-mer count = pattern_num_kmers, so the
+    device Gram over these rows is bit-identical to the pattern
+    path's."""
+    from ..models import builder
+    from ..utils import native
+
+    rep_flat, rep_lens, mults = [], [], []
+    trip_h1, trip_h2, trip_len = [], [], []
+    for mv, gstart, glen, h1, h2 in _merged_partitions(key_streams,
+                                                       hashes=True):
+        inverse, first = builder._dedup_groups(glen, h1, h2)
+        n_pat = first.size
+        mults.append(np.bincount(inverse, minlength=n_pat
+                                 ).astype(np.uint32))
+        lens = glen[first].astype(np.int64)
+        offs_all = np.empty(gstart.size + 1, dtype=np.int64)
+        offs_all[:gstart.size] = gstart
+        offs_all[gstart.size] = mv.size
+        out_off = np.zeros(n_pat + 1, dtype=np.int64)
+        np.cumsum(lens, out=out_off[1:])
+        flat = np.empty(out_off[-1], dtype=np.uint32)
+        if native.available:
+            native.gather_ragged_u32(
+                np.ascontiguousarray(first), offs_all,
+                np.ascontiguousarray(mv), out_off[:-1].copy(), flat)
+        else:
+            for p, g in enumerate(first):
+                flat[out_off[p]:out_off[p + 1]] = \
+                    mv[offs_all[g]:offs_all[g] + lens[p]]
+        rep_flat.append(flat)
+        rep_lens.append(lens)
+        trip_h1.append(h1[first].copy())
+        trip_h2.append(h2[first].copy())
+        trip_len.append(glen[first].astype(np.int64))
+
+    if not rep_flat:
+        return (np.zeros(1, dtype=np.int64),
+                np.zeros(0, dtype=np.uint32),
+                np.zeros(0, dtype=np.uint32), 0)
+    lens = np.concatenate(rep_lens)
+    flat = np.concatenate(rep_flat)
+    weights = np.concatenate(mults)
+    n_groups = int(sum(int(m.sum()) for m in mults))
+    if len(rep_flat) > 1:
+        # cross-partition unification (builder._finalize_db's global
+        # dedup): same content key, weights summed
+        H1 = np.concatenate(trip_h1)
+        H2 = np.concatenate(trip_h2)
+        LEN = np.concatenate(trip_len)
+        inv2, first2 = builder._dedup_groups(LEN, H1, H2)
+        if first2.size < lens.size:
+            w = np.zeros(first2.size, dtype=np.uint64)
+            np.add.at(w, inv2, weights.astype(np.uint64))
+            weights = w.astype(np.uint32)
+            offs_all = np.zeros(lens.size + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs_all[1:])
+            keep = lens[first2]
+            out_off = np.zeros(first2.size + 1, dtype=np.int64)
+            np.cumsum(keep, out=out_off[1:])
+            new_flat = np.empty(out_off[-1], dtype=np.uint32)
+            if native.available:
+                native.gather_ragged_u32(
+                    np.ascontiguousarray(first2), offs_all,
+                    np.ascontiguousarray(flat),
+                    out_off[:-1].copy(), new_flat)
+            else:
+                for p, g in enumerate(first2):
+                    new_flat[out_off[p]:out_off[p + 1]] = \
+                        flat[offs_all[g]:offs_all[g] + keep[p]]
+            flat = new_flat
+            lens = keep
+
+    offs = np.zeros(lens.size + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    return offs, flat, weights, n_groups
 
 
 def _host_group_counts(key_streams) -> np.ndarray:
