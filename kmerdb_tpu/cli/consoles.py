@@ -450,7 +450,13 @@ def run_new2all(p):
                               db.alphabet_name, p.multisample_fasta,
                               num_threads=p.num_threads):
             names.append(s.name)
-            queries.append(np.unique(s.kmers))
+            # loader output is sorted unique for genome/KMC inputs; the
+            # strictness check costs one vectorized pass and skips the
+            # re-sort np.unique would always pay
+            q = s.kmers
+            if q.size > 1 and not bool(np.all(q[1:] > q[:-1])):
+                q = np.unique(q)
+            queries.append(q)
             if len(names) >= 512:
                 flush(names, queries)
                 n_done += len(names)

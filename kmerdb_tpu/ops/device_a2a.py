@@ -109,14 +109,14 @@ def _geometry(S: int, engine: str | None = None):
     """(engine, kt, tile) for a sample count S.  The s8 engine runs
     the swept optimum K-block with a padding-aware tile choice; bf16
     keeps the round-2 geometry."""
-    from . import pallas_gram
+    from . import geom
     engine = engine or _engine()
     if engine == "s8":
-        kt = int(os.environ.get("KMERDB_A2A_KT", pallas_gram.KT_S8))
+        kt = geom.kt_s8()
         tile = int(os.environ.get("KMERDB_A2A_TILE", 0)) \
-            or pallas_gram.pick_tile(S)
+            or geom.pick_tile(S)
     else:
-        kt, tile = pallas_gram.KT, pallas_gram.TILE
+        kt, tile = geom.KT, geom.TILE
     return engine, kt, tile
 
 

@@ -34,6 +34,13 @@ _CHUNK = 32768
 _CHUNK_E = 1 << 20
 
 
+def _on_tpu() -> bool:
+    """pallas_gram.on_tpu without the ~1.3 s pallas module import —
+    tier-dispatch gates must stay cheap on the host-only path."""
+    from ..utils import hwprobe
+    return hwprobe.tpu_available()
+
+
 def _gram_chunk(C, B_i8, w_full, n_limbs):
     """C += B^T diag(w) B for one pattern chunk (XLA limb path).
 
@@ -295,8 +302,7 @@ def all2all_counts(db: KmerPatternDb, chunk: int = _CHUNK) -> np.ndarray:
             # model (this is the first point that touches jax); on a
             # TPU host with no calibration cache yet, run the one-time
             # microprobe so the decision uses THIS machine's numbers
-            from .pallas_gram import on_tpu
-            if on_tpu():
+            if _on_tpu():
                 from . import costcal
                 costcal.ensure_calibrated()
                 want_device = device_cost_s(db) < host_cost_s(db)
@@ -484,9 +490,10 @@ def many2all_counts(db: KmerPatternDb, queries: list[np.ndarray],
             # EXACT host apply workload off the probe results, and only
             # touch jax/on_tpu when host work alone exceeds the fixed
             # device overhead — a small CLI job must not pay backend
-            # init (or a calibration probe) to learn it stays on host
+            # init (or a calibration probe, or the pallas module
+            # import) to learn it stays on host
             from .device_a2a import cost
-            from . import pallas_gram
+            from . import geom
             c = cost()
             probes = _probe_queries(db, queries)
             lens = np.diff(db.pattern_offsets)
@@ -495,14 +502,13 @@ def many2all_counts(db: KmerPatternDb, queries: list[np.ndarray],
             host_s = apply_ops / (c["host_rate"] if S <= 1024
                                   else c["host_rate_big"])
             if host_s >= c["fixed_s"]:
-                from .pallas_gram import on_tpu
-                if on_tpu():
+                if _on_tpu():
                     from . import costcal
                     c = costcal.ensure_calibrated()
                     host_s = apply_ops / (
                         c["host_rate"] if S <= 1024
                         else c["host_rate_big"])
-                    TILE, KT = pallas_gram.TILE, pallas_gram.KT
+                    TILE, KT = geom.TILE, geom.KT
                     Q_pad = _round_up(Q, TILE)
                     S_pad = _round_up(S, TILE)
                     P_pad = _round_up(db.n_patterns, KT)
@@ -526,9 +532,8 @@ def many2all_counts(db: KmerPatternDb, queries: list[np.ndarray],
     # selects the legacy XLA limb scan (warm-process setups), which is
     # also the off-TPU default — the Pallas interpreter would emulate
     # every MXU tile in software there
-    from .pallas_gram import on_tpu
     pallas_env = os.environ.get("KMERDB_A2A_PALLAS")
-    if pallas_env != "0" and (on_tpu() or pallas_env == "1"):
+    if pallas_env != "0" and (_on_tpu() or pallas_env == "1"):
         from ..utils import log
         try:
             return _m2a_device_mosaic(H_all, B_all, n_limbs)[:Q, :S]
@@ -576,24 +581,53 @@ def _m2a_device_mosaic(H_all, B_all, n_limbs):
     return np.asarray(C)
 
 
+class _ProbeList(list):
+    """Per-query (hit_pids, counts) pairs, plus the flat batched-probe
+    arrays (`flat`) that let the host apply run as ONE threaded native
+    call instead of a Python loop."""
+    flat = None
+
+
 def _probe_queries(db: KmerPatternDb, queries: list[np.ndarray]):
-    """Galloping-probe every query against the database k-mer array:
+    """Probe every query against the database k-mer array:
     ([(hit_pids, counts)], max_count) — the shared host stage of BOTH
     many2all tiers (the dispatch cost model reads the exact apply
-    workload from it before committing to a tier)."""
+    workload from it before committing to a tier).
+
+    Native path: ONE bucketed multi-query intersect (the db array
+    streams from RAM once for the whole batch, key ranges fan out
+    across threads — the role of the reference's per-query pool
+    threads, console_new2all.cpp:64-95)."""
     from ..utils import native
-    probes = []
-    max_c = 1
     kmers = np.ascontiguousarray(db.kmers)
     pids32 = np.ascontiguousarray(db.kmer_pattern_ids, dtype=np.int32)
+    probes = _ProbeList()
+    if native.available and len(queries) > 1:
+        hp, hc, qoffs, ucnt, max_c = native.many2all_probe(
+            queries, kmers, pids32, db.n_patterns)
+        for q in range(len(queries)):
+            o = int(qoffs[q])
+            u = int(ucnt[q])
+            probes.append((hp[o:o + u], hc[o:o + u]))
+        probes.flat = (hp, hc, qoffs, ucnt)
+        return probes, max_c
+    max_c = 1
     for q in queries:
         hit = np.sort(native.one2all_probe(
-            np.ascontiguousarray(q), kmers, pids32))
+            np.ascontiguousarray(q), kmers, pids32)) \
+            if native.available else _probe_fallback(db, q)
         hp, cnts = _run_length_counts(hit)
         probes.append((hp, cnts))
         if cnts.size:
             max_c = max(max_c, int(cnts.max()))
     return probes, max_c
+
+
+def _probe_fallback(db: KmerPatternDb, q: np.ndarray) -> np.ndarray:
+    idx = np.searchsorted(db.kmers, q)
+    idx[idx >= db.n_kmers] = db.n_kmers - 1
+    found = db.kmers[idx] == q
+    return np.sort(db.kmer_pattern_ids[idx[found]])
 
 
 def _m2a_host_apply(db: KmerPatternDb, probes, S: int) -> np.ndarray:
@@ -603,10 +637,16 @@ def _m2a_host_apply(db: KmerPatternDb, probes, S: int) -> np.ndarray:
     offs = np.ascontiguousarray(db.pattern_offsets, dtype=np.int64)
     sids = np.ascontiguousarray(db.pattern_sample_ids, dtype=np.uint32)
     out = np.zeros((len(probes), S), dtype=np.uint32)
+    flat = getattr(probes, "flat", None)
+    if flat is not None and native.available:
+        hp, hc, qoffs, ucnt = flat
+        native.csr_apply_many(qoffs, ucnt, hp, hc, offs, sids, out)
+        return out
     for i, (hp, cnts) in enumerate(probes):
         if hp.size:
-            native.csr_apply(np.ascontiguousarray(hp), cnts, offs,
-                             sids, out[i])
+            native.csr_apply(np.ascontiguousarray(hp, dtype=np.int64),
+                             np.ascontiguousarray(cnts, dtype=np.uint32),
+                             offs, sids, out[i])
     return out
 
 
@@ -620,7 +660,7 @@ def m2a_prepare(db: KmerPatternDb, queries: list[np.ndarray],
     the query axis); probes forwards _probe_queries output when the
     caller already ran it."""
     from ..utils import native
-    from . import pallas_gram
+    from . import geom
     Q = len(queries)
     S = db.n_samples
 
@@ -633,7 +673,7 @@ def m2a_prepare(db: KmerPatternDb, queries: list[np.ndarray],
     sids = db.pattern_sample_ids
     el_pid = db.element_pattern_ids()
     P = db.n_patterns
-    TILE, KT = pallas_gram.TILE, pallas_gram.KT
+    TILE, KT = geom.TILE, geom.KT
     Q_pad = _round_up(Q, q_align or TILE)
     S_pad = _round_up(S, TILE)
     chunk = min(_CHUNK, max(KT, (64 << 20) // max(S_pad, Q_pad)))
@@ -733,8 +773,7 @@ def db2db_counts(db_row: KmerPatternDb, db_col: KmerPatternDb) -> np.ndarray:
                                else cc["host_rate_big"])
 
         if _host_s(c) >= c["fixed_s"]:
-            from .pallas_gram import on_tpu
-            if on_tpu():
+            if _on_tpu():
                 from . import costcal
                 from .device_a2a import _geometry
                 c = costcal.ensure_calibrated()
@@ -750,8 +789,7 @@ def db2db_counts(db_row: KmerPatternDb, db_col: KmerPatternDb) -> np.ndarray:
                          + S1 * S2 * 4 / c["pull_Bps"])
                 want_device = dev_s < _host_s(c)
     if want_device and native.available:
-        from .pallas_gram import on_tpu
-        if on_tpu() or os.environ.get("KMERDB_A2A_PALLAS") == "1":
+        if _on_tpu() or os.environ.get("KMERDB_A2A_PALLAS") == "1":
             return _d2d_device(db_row, db_col, up1, up2,
                                np.ascontiguousarray(cnts, dtype=np.uint32))
 

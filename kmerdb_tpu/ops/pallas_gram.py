@@ -28,38 +28,10 @@ jax, jnp = jax_modules()  # configures x64 + compile cache
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-#: K-block (pattern rows per MXU step); bf16 sublane tile is 16, and
-#: 2^8 * KT must stay < 2^24 for exact f32 accumulation.
-KT = 512
-#: output tile edge (MXU native)
-TILE = 128
-
-#: tuned geometry of the int8 engine (kernel_sweep 2026-08-17 on the
-#: v5e, P=1M S=2048: kt=1024/tile=512 sustains ~219 TFLOPS vs 9 for
-#: the round-2 bf16 kt=512/tile=128 — the fixed ~600 ns/grid-step cost
-#: dominates small tiles, so the lever is more MACs per step)
-KT_S8 = 2048
-TILE_S8 = 512
-
-#: measured isolated-kernel TFLOPS by output tile edge (int8 engine,
-#: kt=2048; used by pick_tile to trade pad waste against tile rate).
-#: Swept on a real 4096-sample database's resident incidence
-#: (tools/kernel_sweep.py --on-db, 2026-08-19; kt=4096 exceeds the
-#: compiler's limits): kt 2048 beats the earlier synthetic-sweep
-#: kt=1024 default at every tile (49->70, 137->170, 243->318)
-_S8_TILE_TFLOPS = {128: 70.0, 256: 170.0, 512: 318.0}
-
-
-def pick_tile(S: int) -> int:
-    """Output tile edge maximizing measured rate / padding waste for a
-    sample count S (the triangle/rect kernels pad S up to the tile)."""
-    best, best_eff = TILE, 0.0
-    for t, rate in _S8_TILE_TFLOPS.items():
-        s_pad = -(-S // t) * t
-        eff = rate / ((s_pad / max(S, 1)) ** 2)
-        if eff > best_eff:
-            best, best_eff = t, eff
-    return best
+# geometry constants + per-machine autotuned tile-rate tables live in
+# ops/geom.py (importable without pallas); re-exported here for the
+# kernel call sites and backwards compatibility
+from .geom import KT, TILE, KT_S8, TILE_S8, pick_tile  # noqa: F401
 
 
 def on_tpu() -> bool:
@@ -359,7 +331,7 @@ def _gram_pk_body_s8(k, w_ref, bpi_ref, bpj_ref, c_ref, out_ref,
 _PK_BODIES = {"bf16": _gram_pk_body, "s8": _gram_pk_body_s8}
 
 #: weight bits covered per limb, by engine
-LIMB_BITS = {"bf16": 8, "s8": 7}
+from .geom import LIMB_BITS  # noqa: F401,E402
 
 
 def gram_u32_pk_rows(Bp, w, C_stripe, rt0: int, *, n_limbs: int,

@@ -123,6 +123,14 @@ def _init():
     lib.kmerdb_intersect_probe.restype = ctypes.c_int64
     lib.kmerdb_intersect_probe.argtypes = [
         ctypes.c_int64, u64p, i32p, ctypes.c_int64, u64p, i32p, i32p, i32p]
+    lib.kmerdb_many2all_probe.restype = ctypes.c_int64
+    lib.kmerdb_many2all_probe.argtypes = [
+        ctypes.c_int32, u64pp, i64p, i64p, ctypes.c_int64, u64p, i32p,
+        ctypes.c_int64, i32p, u32p, i64p]
+    lib.kmerdb_csr_apply_many.restype = None
+    lib.kmerdb_csr_apply_many.argtypes = [
+        ctypes.c_int32, i64p, i64p, i32p, u32p, i64p, u32p,
+        ctypes.c_int64, u32p]
     lib.kmerdb_vb_encode_delta_u64.restype = ctypes.c_int64
     lib.kmerdb_vb_encode_delta_u64.argtypes = [ctypes.c_int64, u64p, u8p]
     lib.kmerdb_vb_decode_delta_u64.restype = None
@@ -512,6 +520,55 @@ def one2all_probe(query: np.ndarray, kmers: np.ndarray,
                                   kmers.size, _p(kmers, _U64P),
                                   _p(pids, _I32P), _p(out, _I32P))
     return out[:h]
+
+
+def many2all_probe(queries: list, kmers: np.ndarray, pids: np.ndarray,
+                   n_patterns: int):
+    """Batched multi-query membership probe + per-query run-length
+    counts (the whole host stage of new2all in one threaded call; the
+    db k-mer array streams from RAM once for the batch instead of
+    once per query).
+
+    queries: sorted-unique uint64 arrays.  Returns
+    (hit_pids int32[total], hit_cnts uint32[total], qoffs int64[Q+1],
+    ucnt int64[Q], max_count) — query q's ascending unique hit pattern
+    ids are hit_pids[qoffs[q] : qoffs[q] + ucnt[q]], multiplicities in
+    hit_cnts likewise.  The two flat arrays alias pooled buffers."""
+    _I32P = ctypes.POINTER(ctypes.c_int32)
+    _U32P = ctypes.POINTER(ctypes.c_uint32)
+    Q = len(queries)
+    qarrs = [np.ascontiguousarray(q, dtype=np.uint64) for q in queries]
+    qptrs = (_U64P * max(Q, 1))(*[_p(a, _U64P) for a in qarrs])
+    qlens = np.asarray([a.size for a in qarrs], dtype=np.int64)
+    qoffs = np.zeros(Q + 1, dtype=np.int64)
+    np.cumsum(qlens, out=qoffs[1:])
+    total = int(qoffs[-1])
+    hit_pids = pool.get("m2a_pids", max(total, 1), np.int32,
+                        populate=False)
+    hit_cnts = pool.get("m2a_cnts", max(total, 1), np.uint32,
+                        populate=False)
+    ucnt = np.zeros(Q, dtype=np.int64)
+    max_c = _lib.kmerdb_many2all_probe(
+        Q, qptrs, _p(qlens, _I64P), _p(qoffs, _I64P), kmers.size,
+        _p(kmers, _U64P), _p(pids, _I32P), int(n_patterns),
+        _p(hit_pids, _I32P), _p(hit_cnts, _U32P), _p(ucnt, _I64P))
+    if max_c < 0:
+        raise MemoryError("kmerdb_many2all_probe: scratch arena failed")
+    return hit_pids, hit_cnts, qoffs, ucnt, int(max(max_c, 1))
+
+
+def csr_apply_many(qoffs: np.ndarray, ucnt: np.ndarray,
+                   hit_pids: np.ndarray, hit_cnts: np.ndarray,
+                   offsets: np.ndarray, sample_ids: np.ndarray,
+                   out: np.ndarray) -> None:
+    """Per-query CSR apply of many2all_probe results into the zeroed
+    uint32[Q, S] matrix `out` (query rows are disjoint -> threaded)."""
+    _I32P = ctypes.POINTER(ctypes.c_int32)
+    _U32P = ctypes.POINTER(ctypes.c_uint32)
+    _lib.kmerdb_csr_apply_many(
+        ucnt.size, _p(qoffs, _I64P), _p(ucnt, _I64P),
+        _p(hit_pids, _I32P), _p(hit_cnts, _U32P), _p(offsets, _I64P),
+        _p(sample_ids, _U32P), out.shape[1], _p(out, _U32P))
 
 
 def intersect_probe(ka: np.ndarray, pa: np.ndarray,

@@ -13,8 +13,10 @@
 
 #include <algorithm>
 #include <atomic>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <cstdlib>
 #include <thread>
@@ -647,6 +649,299 @@ int64_t kmerdb_one2all_probe(int64_t nq, const uint64_t* q, int64_t n,
         if (pos < n && kmers[pos] == key) hit_pids[h++] = pids[pos];
     }
     return h;
+}
+
+// Batched multi-query probe (new2all's host stage, reference
+// console_new2all.cpp:64-95 runs one query per pool thread).  The
+// per-query galloping probe re-reads the whole db k-mer array once
+// PER QUERY (Q * 8n bytes of traffic); this batched form partitions
+// the db into cache-sized key ranges and, range by range, intersects
+// every query's slice against the RESIDENT db slice — the db streams
+// from RAM exactly once for the whole batch, and ranges fan out
+// across threads.  A second parallel-over-queries pass radix-sorts
+// each query's hit pattern ids and run-length-counts them in place.
+//
+// Outputs land per query at base qoffs[q] (capacity = query length,
+// an upper bound on hits): out_pids[qoffs[q] .. +ucnt[q]) = ascending
+// unique hit pattern ids, out_cnts likewise their multiplicities.
+// Returns the global max multiplicity (limb sizing), or -1 on alloc
+// failure.  Queries must be sorted unique (np.unique'd by callers).
+int64_t kmerdb_many2all_probe(
+    int32_t n_queries, const uint64_t** qs, const int64_t* qlens,
+    const int64_t* qoffs, int64_t n, const uint64_t* kmers,
+    const int32_t* pids, int64_t n_patterns, int32_t* out_pids,
+    uint32_t* out_cnts, int64_t* out_ucnt) {
+    const int64_t Q = n_queries;
+    if (Q == 0) return 0;
+    if (n == 0) {
+        for (int64_t q = 0; q < Q; ++q) out_ucnt[q] = 0;
+        return 0;
+    }
+    // db ranges of ~128k keys: 1 MB of keys + 0.5 MB of pids stays
+    // resident in L2 while all Q query slices stream past it
+    const int64_t RL = 128 << 10;
+    int64_t R = (n + RL - 1) / RL;
+    if (R > 4096) R = 4096;
+    int64_t qmax = 0, total_q = 0;
+    for (int64_t q = 0; q < Q; ++q) {
+        if (qlens[q] > qmax) qmax = qlens[q];
+        total_q += qlens[q];
+    }
+
+    int nt = kmerdb_get_threads();
+    if (nt > 16) nt = 16;
+
+    static void* m2a_buf = nullptr;
+    static size_t m2a_cap = 0;
+    // layout: cuts i64[Q*(R+1)] | hcnt i64[Q*R] | tmp i32[total_q]
+    //         | radix scratch i32[nt*qmax]
+    const size_t need = (size_t)Q * (R + 1) * 8 + (size_t)Q * R * 8
+        + (size_t)total_q * 4 + (size_t)nt * qmax * 4;
+    int64_t* cuts = (int64_t*)arena_grow(&m2a_buf, &m2a_cap, need);
+    if (!cuts) return -1;
+    int64_t* hcnt = cuts + (size_t)Q * (R + 1);
+    int32_t* tmp = (int32_t*)(hcnt + (size_t)Q * R);
+    int32_t* rscratch = tmp + total_q;
+
+    // KMERDB_PROBE_STATS=1: per-phase wall times on stderr (tuning)
+    const bool stats = [] {
+        const char* e = getenv("KMERDB_PROBE_STATS");
+        return e && *e == '1';
+    }();
+    auto now = [] { return std::chrono::steady_clock::now(); };
+    auto t0 = now();
+    auto lap = [&](const char* name) {
+        if (!stats) return;
+        auto t1 = now();
+        fprintf(stderr, "m2a_probe %s %.3f s\n", name,
+                std::chrono::duration<double>(t1 - t0).count());
+        t0 = t1;
+    };
+
+    // per-query range cut positions (monotonic galloping lower_bound
+    // per edge; queries are independent -> parallel)
+    run_parallel(Q < 64 ? 1 : nt, [&](int t) {
+        const int tn = Q < 64 ? 1 : nt;
+        for (int64_t q = t; q < Q; q += tn) {
+            const uint64_t* qa = qs[q];
+            const int64_t ql = qlens[q];
+            int64_t* c = cuts + (size_t)q * (R + 1);
+            c[0] = 0;
+            int64_t pos = 0;
+            for (int64_t r = 1; r < R; ++r) {
+                const uint64_t edge = kmers[(n * r) / R];
+                int64_t step = 1;
+                while (pos + step < ql && qa[pos + step] < edge)
+                    { pos += step; step <<= 1; }
+                int64_t hi = pos + step < ql ? pos + step : ql;
+                pos = std::lower_bound(qa + pos, qa + hi, edge) - qa;
+                c[r] = pos;
+            }
+            c[R] = ql;
+        }
+    });
+    lap("cuts");
+
+    // range-major intersect: thread t owns range r, db slice resident.
+    // Within a range, each query's keys are searched with an 8-WAY
+    // INTERLEAVED branchless lower_bound over the resident slice: the
+    // length-halving loop is lockstep across lanes (shared `len`), so
+    // eight independent L2 loads are in flight per step instead of a
+    // branch-mispredicting gallop chain (~3x per-key, measured on the
+    // bench host).  Short query slices keep the scalar gallop.
+    std::atomic<int64_t> next_r{0};
+    run_parallel(nt, [&](int) {
+        for (;;) {
+            const int64_t r = next_r.fetch_add(1);
+            if (r >= R) break;
+            const int64_t d0 = (n * r) / R, d1 = (n * (r + 1)) / R;
+            const uint64_t* slice = kmers + d0;
+            const int64_t m = d1 - d0;
+            for (int64_t q = 0; q < Q; ++q) {
+                const int64_t* c = cuts + (size_t)q * (R + 1);
+                const uint64_t* qa = qs[q];
+                int64_t i = c[r];
+                const int64_t iend = c[r + 1];
+                int32_t* outp = tmp + qoffs[q] + c[r];
+                int64_t h = 0;
+                if (m > 0) {
+                    for (; i + 8 <= iend; i += 8) {
+                        int64_t base[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+                        int64_t len = m;
+                        while (len > 1) {
+                            const int64_t half = len >> 1;
+                            for (int j = 0; j < 8; ++j)
+                                base[j] += (slice[base[j] + half - 1]
+                                            < qa[i + j]) ? half : 0;
+                            len -= half;
+                        }
+                        for (int j = 0; j < 8; ++j) {
+                            const int64_t p =
+                                base[j] + (slice[base[j]] < qa[i + j]);
+                            if (p < m && slice[p] == qa[i + j])
+                                outp[h++] = pids[d0 + p];
+                        }
+                    }
+                    int64_t pos = d0;
+                    for (; i < iend && pos < d1; ++i) {
+                        const uint64_t key = qa[i];
+                        int64_t lo = pos, step = 1;
+                        while (lo + step < d1 && kmers[lo + step] < key)
+                            { lo += step; step <<= 1; }
+                        int64_t hi = lo + step < d1 ? lo + step : d1;
+                        pos = std::lower_bound(kmers + lo, kmers + hi,
+                                               key) - kmers;
+                        if (pos < d1 && kmers[pos] == key)
+                            outp[h++] = pids[pos];
+                    }
+                }
+                hcnt[(size_t)q * R + r] = h;
+            }
+        }
+    });
+    lap("intersect");
+
+    // per-query: radix-sort hits by pid straight out of the range
+    // segments, then run-length count in place.  Pattern ids fit 22
+    // bits for any realistic database, so two 11-bit passes cover it
+    // (pass 1 scatters segment hits -> thread scratch, pass 2 scratch
+    // -> out region); both digit histograms are counted in ONE read
+    // of the segments, and the separate compaction pass disappears
+    // into pass 1's scatter.  Wider ids fall back to 8-bit passes.
+    int pid_bits = 1;
+    while (((int64_t)1 << pid_bits) < n_patterns) ++pid_bits;
+    std::atomic<int64_t> next_q{0};
+    std::atomic<int64_t> max_cnt{1};
+    run_parallel(nt, [&](int t) {
+        int32_t* scratch = rscratch + (size_t)t * qmax;
+        int64_t local_max = 1;
+        for (;;) {
+            const int64_t q = next_q.fetch_add(1);
+            if (q >= Q) break;
+            const int64_t* c = cuts + (size_t)q * (R + 1);
+            const int32_t* seg_base = tmp + qoffs[q];
+            int32_t* dst = out_pids + qoffs[q];
+            int64_t h = 0;
+            for (int64_t r = 0; r < R; ++r)
+                h += hcnt[(size_t)q * R + r];
+            if (h == 0) { out_ucnt[q] = 0; continue; }
+            if (pid_bits <= 22) {
+                // both 11-bit digit histograms in one segment read
+                int64_t cnt0[2048], cnt1[2048];
+                memset(cnt0, 0, sizeof(cnt0));
+                memset(cnt1, 0, sizeof(cnt1));
+                for (int64_t r = 0; r < R; ++r) {
+                    const int32_t* s = seg_base + c[r];
+                    const int64_t nseg = hcnt[(size_t)q * R + r];
+                    for (int64_t i = 0; i < nseg; ++i) {
+                        ++cnt0[s[i] & 0x7ff];
+                        ++cnt1[(s[i] >> 11) & 0x7ff];
+                    }
+                }
+                int64_t sum = 0;
+                for (int d = 0; d < 2048; ++d)
+                    { int64_t v = cnt0[d]; cnt0[d] = sum; sum += v; }
+                sum = 0;
+                for (int d = 0; d < 2048; ++d)
+                    { int64_t v = cnt1[d]; cnt1[d] = sum; sum += v; }
+                // pass 1: segments -> scratch (low digit); doubles as
+                // the compaction pass
+                for (int64_t r = 0; r < R; ++r) {
+                    const int32_t* s = seg_base + c[r];
+                    const int64_t nseg = hcnt[(size_t)q * R + r];
+                    for (int64_t i = 0; i < nseg; ++i)
+                        scratch[cnt0[s[i] & 0x7ff]++] = s[i];
+                }
+                // pass 2: scratch -> out region (high digit)
+                for (int64_t i = 0; i < h; ++i)
+                    dst[cnt1[(scratch[i] >> 11) & 0x7ff]++] = scratch[i];
+            } else {
+                // wide ids: compact then classic 8-bit LSD passes
+                int64_t h2 = 0;
+                for (int64_t r = 0; r < R; ++r) {
+                    const int64_t hc = hcnt[(size_t)q * R + r];
+                    if (hc) {
+                        memcpy(dst + h2, seg_base + c[r],
+                               (size_t)hc * 4);
+                        h2 += hc;
+                    }
+                }
+                int32_t* src = dst;
+                int32_t* alt = scratch;
+                const int passes = (pid_bits + 7) / 8;
+                for (int p = 0; p < passes; ++p) {
+                    int64_t cnt[256] = {0};
+                    const int sh = p * 8;
+                    for (int64_t i = 0; i < h; ++i)
+                        ++cnt[(src[i] >> sh) & 0xff];
+                    if (cnt[(src[0] >> sh) & 0xff] == h) continue;
+                    int64_t sum = 0;
+                    for (int d = 0; d < 256; ++d)
+                        { int64_t v = cnt[d]; cnt[d] = sum; sum += v; }
+                    for (int64_t i = 0; i < h; ++i)
+                        alt[cnt[(src[i] >> sh) & 0xff]++] = src[i];
+                    std::swap(src, alt);
+                }
+                if (src != dst) memcpy(dst, src, (size_t)h * 4);
+            }
+            uint32_t* dcnt = out_cnts + qoffs[q];
+            int64_t u = 0;
+            int32_t prev = dst[0];
+            uint32_t run = 0;
+            for (int64_t i = 0; i < h; ++i) {
+                if (dst[i] != prev) {
+                    dst[u] = prev;
+                    dcnt[u++] = run;
+                    if ((int64_t)run > local_max) local_max = run;
+                    prev = dst[i];
+                    run = 1;
+                } else {
+                    ++run;
+                }
+            }
+            dst[u] = prev;
+            dcnt[u++] = run;
+            if ((int64_t)run > local_max) local_max = run;
+            out_ucnt[q] = u;
+        }
+        int64_t cur = max_cnt.load();
+        while (local_max > cur &&
+               !max_cnt.compare_exchange_weak(cur, local_max)) {}
+    });
+    lap("rle");
+    return max_cnt.load();
+}
+
+// Batched CSR apply: query rows are disjoint, so the per-query
+// one2all accumulation fans out across threads (the multi-query form
+// of kmerdb_csr_apply; reference decode loop
+// similarity_calculator.cpp:737-794 under T query threads).
+void kmerdb_csr_apply_many(
+    int32_t n_queries, const int64_t* qoffs, const int64_t* ucnt,
+    const int32_t* hit_pids, const uint32_t* hit_cnts,
+    const int64_t* offsets, const uint32_t* sample_ids,
+    int64_t n_samples, uint32_t* out) {
+    int nt = kmerdb_get_threads();
+    if (nt > 16) nt = 16;
+    if (nt > n_queries) nt = n_queries > 0 ? (int)n_queries : 1;
+    std::atomic<int64_t> next{0};
+    run_parallel(nt, [&](int) {
+        for (;;) {
+            const int64_t q = next.fetch_add(1);
+            if (q >= n_queries) break;
+            const int32_t* hp = hit_pids + qoffs[q];
+            const uint32_t* hc = hit_cnts + qoffs[q];
+            uint32_t* sims = out + (size_t)q * n_samples;
+            const int64_t u = ucnt[q];
+            for (int64_t i = 0; i < u; ++i) {
+                const int64_t p = hp[i];
+                const uint32_t cv = hc[i];
+                const int64_t lo = offsets[p], hi = offsets[p + 1];
+                for (int64_t j = lo; j < hi; ++j)
+                    sims[sample_ids[j]] += cv;
+            }
+        }
+    });
 }
 
 // cross-database variant: for every k-mer present in both sorted
