@@ -188,23 +188,31 @@ def run_all2all_parts(p):
                 for r in range(S):
                     row = C[r, :r]
                     keep = filt.mask_row(row, r)
-                    diag_cell.append([(int(j), int(row[j]))
-                                      for j in np.flatnonzero(row * keep)])
+                    nz = np.flatnonzero(row * keep)
+                    diag_cell.append((nz, row[nz]))
                 cells[i_row] = diag_cell
 
-
-
             if not do_sampling:
+                # bulk row assembly: per-cell survivor (col, value)
+                # arrays concatenate with global shifts and format
+                # through the native pair writer — no per-cell Python
+                # tuples (the reference streams rows the same way,
+                # console_all2all_parts.cpp:294-315)
                 for r in range(db_row.n_samples):
                     g = idx_shifts[i_row] + r
-                    pairs = []
-                    shift = 0
+                    cs, vs = [], []
                     for i_col in range(i_row + 1):
-                        for j, v in cells[i_col][r]:
-                            pairs.append((shift + j + 1, v))
-                        shift += part_sizes[i_col]
-                    ofs.write(csvio.sparse_row_pairs(
-                        sample_names[g], sample_counts[g], pairs))
+                        c, v = cells[i_col][r]
+                        if c.size:
+                            cs.append(c.astype(np.int64)
+                                      + (idx_shifts[i_col] + 1))
+                            vs.append(v)
+                    cols = (np.concatenate(cs) if cs
+                            else np.empty(0, dtype=np.int64))
+                    vals = (np.concatenate(vs) if vs
+                            else np.empty(0, dtype=np.uint32))
+                    ofs.write(csvio.sparse_row_pairs_arrays(
+                        sample_names[g], sample_counts[g], cols, vals))
 
         if do_sampling:
             for g in range(len(sample_names)):
@@ -213,13 +221,13 @@ def run_all2all_parts(p):
 
 
 def _filtered_pairs_matrix(X, filt):
-    """Per-row sorted (col, value) pairs passing the filter."""
+    """Per-row survivor (cols, values) array pairs (ascending cols)."""
     out = []
     for r in range(X.shape[0]):
         row = X[r]
         keep = filt.mask_row(row, r)
-        out.append([(int(j), int(row[j]))
-                    for j in np.flatnonzero(row * keep)])
+        nz = np.flatnonzero(row * keep)
+        out.append((nz, row[nz]))
     return out
 
 
@@ -229,12 +237,16 @@ def _cross_to_sampler(sampler, X, filt, p, db_row, db_col, row_shift,
     rc = db_row.sample_kmer_counts
     cc = db_col.sample_kmer_counts
     for r in range(X.shape[0]):
-        for j in np.flatnonzero(X[r]):
-            v = int(X[r, j])
-            if filt(v, r, int(j)):
-                score = float(crit(v, int(rc[r]), int(cc[j]), kmer_len))
-                sampler.add(row_shift + r, col_shift + int(j), v, score)
-                sampler.add(col_shift + int(j), row_shift + r, v, score)
+        row = X[r]
+        nz = np.flatnonzero(row)
+        if nz.size == 0:
+            continue
+        keep = filt.mask_row(row[nz], r, nz)
+        for j in nz[keep]:
+            v = int(row[j])
+            score = float(crit(v, int(rc[r]), int(cc[j]), kmer_len))
+            sampler.add(row_shift + r, col_shift + int(j), v, score)
+            sampler.add(col_shift + int(j), row_shift + r, v, score)
 
 
 def _diag_to_sampler(sampler, C, filt, p, db_row, shift, kmer_len):

@@ -241,10 +241,12 @@ def all2all_group_counts(key_streams, force=None) -> np.ndarray:
     total = int(sum(s.size for s in key_streams))
     if force is None and not device_worthwhile(S, total):
         return _host_group_counts(key_streams)
-    from . import pallas_gram
-    if not pallas_gram.on_tpu() and force is not True:
+    from ..utils import hwprobe
+    if not hwprobe.tpu_available() and force is not True:
         return _host_group_counts(key_streams)
     try:
+        if _dedup_route(S, total):
+            return _device_pattern_counts(key_streams)
         return _device_group_counts(key_streams)
     except Exception:
         if force is True:
@@ -254,6 +256,32 @@ def all2all_group_counts(key_streams, force=None) -> np.ndarray:
         log.normal("WARNING: fused device tier failed, recomputing on "
                    "host: " + traceback.format_exc(limit=1).strip())
         return _host_group_counts(key_streams)
+
+
+def _dedup_route(S: int, total_elems: int) -> bool:
+    """Choose the device wire format: raw k-mer groups (one merge, no
+    dedup — best on fast links) vs set-hash-deduped patterns (~10x
+    fewer incidence rows on real corpora — best on slow links).
+
+    The push is the fused pipeline's dominant device cost on tunneled
+    rigs (measured 2026-08-19: ~35 MB/s sustained at every buffer
+    size, so ~1 GB of raw group incidence is ~30 s while the deduped
+    pattern incidence is ~80 MB ≈ 3 s); the dedup's extra host work
+    (set-hash pass + first-touch table + gathers) is ~linear in the
+    element count.  KMERDB_FUSED_DEDUP=1/0 forces."""
+    env = os.environ.get("KMERDB_FUSED_DEDUP", "")
+    if env in ("0", "1"):
+        return env == "1"
+    from .costcal import resolve
+    c = resolve()
+    tile = 512
+    S_pad = _round_up(max(S, 1), tile)
+    G = max(int(total_elems / max(S, 1) ** 0.5), 1)
+    raw_push_s = G * (S_pad / 8) / c["push_Bps"]
+    # measured scale corpus: hash+dedup+gather adds ~25 ns/element on
+    # the bench host; pattern rows ~G/10 on related corpora
+    dedup_s = total_elems * 25e-9 + (G / 10) * (S_pad / 8) / c["push_Bps"]
+    return dedup_s < raw_push_s
 
 
 def grid_group_counts(dbs) -> dict:
@@ -552,6 +580,38 @@ def grid_rows_streamed(get_part, part_sizes, max_count=None):
             cells[i_col] = pull(C_ij, (sp_i, sp_j))[:part_sizes[i_row],
                                                     :part_sizes[i_col]]
         yield i_row, cells
+
+
+def _device_pattern_counts(key_streams) -> np.ndarray:
+    """Dedup-route device tier: set-hash pattern dedup on the host
+    (no per-kmer CSR, no serialization), then the pattern path's
+    light/heavy packed device pipeline program-for-program
+    (device_a2a._all2all_device_inner via _ShimDb).  Pushes ~P
+    incidence rows instead of ~G >> P raw group rows — the winning
+    trade whenever the host->device link is slow (see _dedup_route).
+    Bit-identical to both the raw-group device route and the pattern
+    path (multiplicity per pattern = its unique-k-mer count)."""
+    from . import device_a2a
+
+    t0 = time.perf_counter()
+    S = len(key_streams)
+    if S == 0:
+        return np.zeros((0, 0), dtype=np.uint32)
+    # absorb the compile service init while the merge+dedup runs
+    device_a2a.warmup_async()
+    td0 = time.perf_counter()
+    offs, flat, weights, n_groups = _dedup_patterns(key_streams)
+    t_dedup = time.perf_counter() - td0
+    counts_max = max((int(s.size) for s in key_streams), default=0)
+    shim = _ShimDb(offs, flat, weights, S, counts_max)
+    out = device_a2a.all2all_device(shim)
+    last_stats.update(device_a2a.last_stats)
+    last_stats.update({
+        "n_groups": n_groups, "n_patterns": int(weights.size),
+        "route": "dedup", "merge_dedup_s": t_dedup,
+        "total_s": time.perf_counter() - t0,
+    })
+    return out
 
 
 def _device_group_counts(key_streams) -> np.ndarray:

@@ -37,3 +37,16 @@ def sparse_row_pairs(name: str, count: int, pairs) -> str:
     """pairs: iterable of (one_based_col, value)."""
     return (f"{name},{count},"
             + "".join(f"{c}:{v}," for c, v in pairs) + "\n")
+
+
+def sparse_row_pairs_arrays(name: str, count: int, cols, vals) -> str:
+    """sparse_row_pairs from parallel arrays (cols one-based, already
+    globally shifted) — the native formatter replaces the per-cell
+    Python tuple loop in the all2all-parts row assembly."""
+    from . import native
+    if native.available:
+        return (f"{name},{count},"
+                + native.row_pairs(cols, vals).decode("ascii") + "\n")
+    return sparse_row_pairs(name, count,
+                            zip([int(c) for c in cols],
+                                [int(v) for v in vals]))

@@ -89,6 +89,8 @@ def _init():
     lib.kmerdb_row_dense.argtypes = [u32p, ctypes.c_int64, cp]
     lib.kmerdb_row_sparse.restype = ctypes.c_int64
     lib.kmerdb_row_sparse.argtypes = [u32p, ctypes.c_int64, cp]
+    lib.kmerdb_row_pairs.restype = ctypes.c_int64
+    lib.kmerdb_row_pairs.argtypes = [i64p, u32p, ctypes.c_int64, cp]
     lib.kmerdb_row_double6.restype = ctypes.c_int64
     lib.kmerdb_row_double6.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_char, cp]
@@ -400,6 +402,17 @@ def row_sparse(vals: np.ndarray) -> bytes:
     buf = _row_capacity(vals.size)
     n = _lib.kmerdb_row_sparse(_p(vals, _U32P), vals.size,
                                ctypes.cast(buf, ctypes.c_char_p))
+    return bytes(_row_buf[:n])
+
+
+def row_pairs(cols: np.ndarray, vals: np.ndarray) -> bytes:
+    """'<col>:<v>,' per element (cols one-based, pre-shifted)."""
+    _U32P = ctypes.POINTER(ctypes.c_uint32)
+    cols = np.ascontiguousarray(cols, dtype=np.int64)
+    vals = np.ascontiguousarray(vals, dtype=np.uint32)
+    buf = _row_capacity(cols.size)
+    n = _lib.kmerdb_row_pairs(_p(cols, _I64P), _p(vals, _U32P),
+                              cols.size, ctypes.cast(buf, ctypes.c_char_p))
     return bytes(_row_buf[:n])
 
 

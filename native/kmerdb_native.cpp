@@ -1284,6 +1284,21 @@ int64_t kmerdb_row_dense(const uint32_t* vals, int64_t n, char* out) {
     return p - out;
 }
 
+// explicit sparse pair row: "<col>:<v>," per element (cols already
+// one-based and globally shifted — the all2all-parts row assembly,
+// reference console_all2all_parts.cpp:294-315)
+int64_t kmerdb_row_pairs(const int64_t* cols, const uint32_t* vals,
+                         int64_t n, char* out) {
+    char* p = out;
+    for (int64_t i = 0; i < n; ++i) {
+        p = put_u64((uint64_t)cols[i], p);
+        *p++ = ':';
+        p = put_u64(vals[i], p);
+        *p++ = ',';
+    }
+    return p - out;
+}
+
 // sparse row: "<i+1>:<v>," per non-zero value
 int64_t kmerdb_row_sparse(const uint32_t* vals, int64_t n, char* out) {
     char* p = out;

@@ -30,8 +30,16 @@ def test_group_counts_match_pattern_path(n, seed):
     want = intersect.all2all_counts(db)
     got_host = fused._host_group_counts(streams)
     np.testing.assert_array_equal(got_host, want)
-    got_dev = fused.all2all_group_counts(streams, force=True)
-    np.testing.assert_array_equal(got_dev, want)
+    # both device wire formats: raw k-mer groups and set-hash-deduped
+    # patterns (the slow-link route) must be bit-identical
+    for dedup in ("0", "1"):
+        os.environ["KMERDB_FUSED_DEDUP"] = dedup
+        try:
+            got_dev = fused.all2all_group_counts(streams, force=True)
+        finally:
+            del os.environ["KMERDB_FUSED_DEDUP"]
+        np.testing.assert_array_equal(got_dev, want,
+                                      err_msg=f"dedup={dedup}")
 
 
 def test_group_counts_multi_partition(monkeypatch):
