@@ -260,10 +260,13 @@ def run_all2all(p):
         ofs.write(csvio.totals_row(db.sample_kmer_counts))
         filt = _matrix_filter(p, db) if p.sparse_out else None
 
+        prog = log.Progress(db.n_samples)
+
         def emit(i, full_row):
             _emit_matrix_row(ofs, db.sample_names[i],
                              int(db.sample_kmer_counts[i]),
                              full_row[:i], i, filt)
+            prog.step()
 
         mesh = _active_mesh()
         streamed = False
@@ -299,6 +302,7 @@ def run_all2all(p):
                                               db.sample_names))
                 ofs.write(csvio.totals_row(db.sample_kmer_counts))
         if not streamed:
+            prog.counter = 0  # a failed streamed attempt restarted
             if mesh is not None:
                 from ..parallel import sharded
                 C = sharded.all2all_counts_sharded(db, mesh)
@@ -308,6 +312,7 @@ def run_all2all(p):
             log.verbose(f"Similarity matrix computed in {t2 - t1:.3f}s")
             for i in range(db.n_samples):
                 emit(i, C[i])
+        prog.done()
 
 
 def _stream_rows(db, mesh=None) -> bool:
@@ -371,15 +376,14 @@ def run_all2all_sp(p):
 
         # percent progress over output rows at -v (the reference's
         # refresh::progress_state role, similarity_calculator.cpp:479)
-        tick = max(1, db.n_samples // 10)
+        prog = log.Progress(db.n_samples)
         if sampler is not None:
             _feed_sampler(sampler, C, filt, p, db)
             for i in range(db.n_samples):
                 ofs.write(csvio.sparse_row_pairs(
                     db.sample_names[i], int(db.sample_kmer_counts[i]),
                     sampler.row_pairs(i)))
-                if (i + 1) % tick == 0:
-                    log.verbose(f"{(i + 1) * 100 // db.n_samples}%")
+                prog.step()
         else:
             for i in range(db.n_samples):
                 row = C[i, :i]
@@ -387,8 +391,8 @@ def run_all2all_sp(p):
                 row = np.where(keep, row, 0)
                 ofs.write(csvio.sparse_row(
                     db.sample_names[i], int(db.sample_kmer_counts[i]), row))
-                if (i + 1) % tick == 0:
-                    log.verbose(f"{(i + 1) * 100 // db.n_samples}%")
+                prog.step()
+        prog.done()
 
 
 def _feed_sampler(sampler, C, filt, p, db):
@@ -443,6 +447,16 @@ def run_new2all(p):
                 else:
                     ofs.write(csvio.dense_row(name, cnt, sims))
 
+        # percent progress over queries when the list length is known
+        # upfront (reference progress.h role); multisample FASTA counts
+        # are unknown until read, so those fall back to batch logs
+        prog = None
+        if not p.multisample_fasta and not fasta.is_fasta_path(samples_arg):
+            try:
+                prog = log.Progress(len(fasta.read_file_list(samples_arg)))
+            except OSError:
+                pass
+
         names, queries = [], []
         n_done = 0
         for s in iter_samples(samples_arg, p.input_format, db.kmer_length,
@@ -460,12 +474,20 @@ def run_new2all(p):
             if len(names) >= 512:
                 flush(names, queries)
                 n_done += len(names)
-                log.verbose(f"{n_done} queries processed")
+                if prog is not None:
+                    prog.step(len(names))
+                else:
+                    log.verbose(f"{n_done} queries processed")
                 names, queries = [], []
         if names:
             flush(names, queries)
             n_done += len(names)
-            log.verbose(f"{n_done} queries processed")
+            if prog is not None:
+                prog.step(len(names))
+            else:
+                log.verbose(f"{n_done} queries processed")
+        if prog is not None:
+            prog.done()
 
 
 def run_one2all(p):

@@ -13,7 +13,7 @@ import numpy as np
 
 from ..io import dbfile
 from ..ops import intersect
-from ..utils import csvio
+from ..utils import csvio, log
 from ..utils.filters import CombinedFilter
 from .params import UsageError
 
@@ -102,7 +102,6 @@ def run_all2all_parts(p):
             from ..ops import fused
             from ..ops.pallas_gram import on_tpu
             if genv == "1" or on_tpu():
-                from ..utils import log
                 # varint DBs expand ~2-4x in RAM; when the expanded
                 # parts cannot all sit inside the cache budget, stream
                 # the grid one row-part at a time (device-resident row
@@ -127,8 +126,11 @@ def run_all2all_parts(p):
                                    f"{e}")
                         grid_cells = None
 
+        # percent progress over emitted global rows at -v (the
+        # reference's long-sparse-path progress, progress.h used at
+        # similarity_calculator.cpp:1347)
+        prog = log.Progress(max(1, int(sum(part_sizes))))
         for i_row, fn_row in enumerate(part_fns):
-            from ..utils import log
             log.verbose(f"grid row {i_row + 1}/{len(part_fns)}")
             db_row = get_part(i_row)
             row_filter_counts = db_row.sample_kmer_counts
@@ -213,11 +215,14 @@ def run_all2all_parts(p):
                             else np.empty(0, dtype=np.uint32))
                     ofs.write(csvio.sparse_row_pairs_arrays(
                         sample_names[g], sample_counts[g], cols, vals))
+                    prog.step()
 
         if do_sampling:
             for g in range(len(sample_names)):
                 ofs.write(csvio.sparse_row_pairs(
                     sample_names[g], sample_counts[g], sampler.row_pairs(g)))
+                prog.step()
+        prog.done()
 
 
 def _filtered_pairs_matrix(X, filt):
