@@ -286,7 +286,8 @@ def run_all2all(p):
             try:
                 if mesh is not None:
                     from ..parallel import sharded
-                    sharded.all2all_rows_sharded(db, mesh, emit)
+                    sharded.all2all_rows_sharded(
+                        db, mesh, emit, cell_bounds=cell_bounds)
                 else:
                     from ..ops import device_a2a
                     device_a2a.all2all_device_rows(

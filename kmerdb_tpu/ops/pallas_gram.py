@@ -503,6 +503,42 @@ def gather_tiles(C, i_tab, j_tab, *, dtype=None,
           jnp.asarray(j_tab, dtype=jnp.int32), C)
 
 
+def _bounds_zero_kernel(b_ref, c_ref, out_ref):
+    c = c_ref[:]
+    # biased compare: signed int32 order == unsigned uint32 order
+    biased = (c ^ np.uint32(0x80000000)).astype(jnp.int32)
+    keep = (biased >= b_ref[0]) & (biased <= b_ref[1])
+    out_ref[:] = jnp.where(keep, c, 0).astype(out_ref.dtype)
+
+
+def bounds_zero_rows(C, bounds, *, dtype=None,
+                     interpret: bool | None = None):
+    """Elementwise inclusive-uint32-bounds filter: cells outside
+    [lo, hi] (pre-encoded via bias_bounds -> int32[2]) become 0, with
+    an optional narrowing cast fused in.  The device-side filter
+    pushdown of the sharded streamed-sparse path (the mesh twin of
+    filter_colsum + survivor gather): non-survivors are zeroed BEFORE
+    the stripe leaves the device.  One compiled program serves every
+    bound value (scalar prefetch)."""
+    if interpret is None:
+        interpret = not on_tpu()
+    R, S = C.shape
+    cw = 2048 if S % 2048 == 0 else TILE
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(R // TILE, S // cw),
+        in_specs=[pl.BlockSpec((TILE, cw), lambda i, j, b: (i, j))],
+        out_specs=pl.BlockSpec((TILE, cw), lambda i, j, b: (i, j)),
+    )
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            _bounds_zero_kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((R, S), dtype or C.dtype),
+            interpret=interpret,
+        )(jnp.asarray(bounds), C)
+
+
 def _cast_rows_kernel(c_ref, out_ref):
     out_ref[:] = c_ref[:].astype(out_ref.dtype)
 

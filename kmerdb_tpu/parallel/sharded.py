@@ -400,8 +400,29 @@ def _cast_sharded(C_all, *, mesh, dtype, interp):
                      out_specs=P("shard"))(C_all)
 
 
+@functools.partial(jax.jit, static_argnames=("mesh", "dtype", "interp"))
+def _filter_sharded(C_all, bounds, *, mesh, dtype, interp):
+    """Device-side inclusive-bounds filter pushdown per stripe shard
+    (the mesh twin of the single-chip filter_colsum + survivor-tile
+    pull): non-survivor cells are zeroed (and optionally u16-narrowed)
+    on device, so the pulled stripes carry only survivors."""
+    from ..ops import pallas_gram
+
+    def step(C_l, b_l):
+        if interp:
+            biased = (C_l ^ np.uint32(0x80000000)).astype(jnp.int32)
+            keep = (biased >= b_l[0]) & (biased <= b_l[1])
+            return jnp.where(keep, C_l, 0).astype(dtype)
+        return pallas_gram.bounds_zero_rows(C_l, b_l, dtype=dtype,
+                                            interpret=False)
+
+    return shard_map(step, mesh=mesh, in_specs=(P("shard"), P()),
+                     out_specs=P("shard"))(C_all, bounds)
+
+
 def all2all_rows_sharded(db: KmerPatternDb, mesh: Mesh, row_handler,
-                         stripe_rows: int | None = None) -> None:
+                         stripe_rows: int | None = None,
+                         cell_bounds: tuple | None = None) -> None:
     """Streamed multi-device all2all: row-stripe ownership over the
     mesh.  Every device computes the full-K Gram for its stripe rows
     (packed incidence replicated, C sharded by rows, NO psum of a full
@@ -409,6 +430,12 @@ def all2all_rows_sharded(db: KmerPatternDb, mesh: Mesh, row_handler,
     row_handler(i, uint32[S]) in global row order — so `-mesh N` and
     the large-S streaming memory story compose: per-device memory is
     bounded by ONE stripe regardless of S.
+
+    cell_bounds=(lo, hi): sparse-output mode — the inclusive count
+    filter runs ON DEVICE per stripe shard (_filter_sharded), so
+    pulled stripes carry zeros outside the bounds (same handed-row
+    contract as the single-chip tier's filter_colsum + survivor-tile
+    pull; reference role SparseMatrix::compact2, src/array.h:392-446).
 
     Reference role: the row-ownership split of
     src/similarity_calculator.cpp:371-399 laid over the mesh axis
@@ -488,7 +515,12 @@ def all2all_rows_sharded(db: KmerPatternDb, mesh: Mesh, row_handler,
                 _to_global(rt0, mesh, P("shard")), C, Bp, wg,
                 mesh=mesh, n_limbs=n_limbs, kt=KT, tile=TILE,
                 engine=engine, interp=interp)
-        if narrow:
+        pull_dt = jnp.uint16 if narrow else jnp.uint32
+        if cell_bounds is not None:
+            b_enc = pallas_gram.bias_bounds(*cell_bounds)
+            C = _filter_sharded(C, _to_global(b_enc, mesh, P()),
+                                mesh=mesh, dtype=pull_dt, interp=interp)
+        elif narrow:
             C = _cast_sharded(C, mesh=mesh, dtype=jnp.uint16,
                               interp=interp)
         out = _collect(C, replicated=False).astype(np.uint32,
