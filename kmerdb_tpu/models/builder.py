@@ -189,28 +189,45 @@ def add_samples(db: KmerPatternDb,
         cuts = _partition_cuts(key_streams, edges)
 
         parts = _Parts()
-        for part in range(edges.size + 1):
-            sliced_k, sliced_v, cvals = [], [], []
-            for i, s in enumerate(key_streams):
-                lo, hi = int(cuts[i, part]), int(cuts[i, part + 1])
-                if hi <= lo:
-                    continue
-                sliced_k.append(s[lo:hi])
-                sliced_v.append(old_vals[lo:hi] if i == 0 else None)
-                cvals.append(0 if i == 0 else s0 + i - 1)
-            if not sliced_k:
-                continue
-            if _build_device():
-                from ..ops.device_build import merge_dedup_device
-                merge_out = merge_dedup_device(sliced_k, sliced_v, cvals)
-            else:
+
+        def partition_slices():
+            for part in range(edges.size + 1):
+                sliced_k, sliced_v, cvals = [], [], []
+                for i, s in enumerate(key_streams):
+                    lo, hi = int(cuts[i, part]), int(cuts[i, part + 1])
+                    if hi <= lo:
+                        continue
+                    sliced_k.append(s[lo:hi])
+                    sliced_v.append(old_vals[lo:hi] if i == 0 else None)
+                    cvals.append(0 if i == 0 else s0 + i - 1)
+                if sliced_k:
+                    yield sliced_k, sliced_v, cvals
+
+        if _build_device():
+            # two-deep software pipeline: partition N's result pull
+            # (host-blocking transfer, device mostly idle on slow
+            # links) runs on a worker thread while the main thread
+            # packs and dispatches partition N+1 (VERDICT r4 item 4)
+            import concurrent.futures as cf
+            from collections import deque
+            from ..ops import device_build as devb
+            with cf.ThreadPoolExecutor(max_workers=1) as pool:
+                q = deque()
+                for sk, sv, cv in partition_slices():
+                    h = devb.merge_dedup_dispatch(sk, sv, cv)
+                    q.append(pool.submit(devb.merge_dedup_finish, h))
+                    while len(q) > 1:
+                        parts.add(q.popleft().result(), old_off,
+                                  old_sids)
+                while q:
+                    parts.add(q.popleft().result(), old_off, old_sids)
+        else:
+            for sk, sv, cv in partition_slices():
                 merged_vals, gk, gstart, glen_u, h1, h2 = \
-                    native.merge_groups(sliced_k, sliced_v, cvals,
-                                        scratch=True)
+                    native.merge_groups(sk, sv, cv, scratch=True)
                 inverse, first_group = _dedup_groups(glen_u, h1, h2)
-                merge_out = (merged_vals, gk, gstart, glen_u, h1, h2,
-                             inverse, first_group)
-            parts.add(merge_out, old_off, old_sids)
+                parts.add((merged_vals, gk, gstart, glen_u, h1, h2,
+                           inverse, first_group), old_off, old_sids)
 
         return _finalize_db(db, names, counts, parts)
 

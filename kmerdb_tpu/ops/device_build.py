@@ -318,6 +318,90 @@ def _pull_prefix(x, n: int) -> np.ndarray:
     return np.asarray(sliced)[:n]
 
 
+class _MergeHandle:
+    """In-flight device merge of one partition: device arrays only, no
+    host sync — merge_dedup_finish materializes them.  The split lets
+    the builder software-pipeline partitions: partition N's result
+    pull (host-blocking, ~10 MB/s on tunneled links with the device
+    idle) overlaps partition N+1's pack + dispatch + device exec."""
+    __slots__ = ("out", "stats", "n_valid", "N")
+
+    def __init__(self, out, stats, n_valid, N):
+        self.out = out
+        self.stats = stats
+        self.n_valid = n_valid
+        self.N = N
+
+
+def merge_dedup_dispatch(sliced_k, sliced_v, cvals) -> _MergeHandle:
+    """Pack one partition's streams and dispatch the merge + stats
+    programs asynchronously; returns a handle for merge_dedup_finish."""
+    jax, jnp = jax_modules()
+    n_valid = int(sum(s.size for s in sliced_k))
+    N = _next_pow2(max(n_valid, 1))
+    if N >= (1 << 31):
+        # the dedup kernel indexes with i32 (u64 emulation on TPU is
+        # what this module exists to avoid); partitions are bounded to
+        # 8M elements by the builder, so this only guards misuse
+        raise OverflowError("device-build partition exceeds 2^31 slots")
+    t0 = time.perf_counter()
+    keys, ranks, vals, _ = pack_streams(sliced_k, sliced_v, cvals, N)
+    t1 = time.perf_counter()
+    last_stats["pack_s"] = last_stats.get("pack_s", 0.0) + (t1 - t0)
+    out = _jit_merge_dedup()(jnp.asarray(keys), jnp.asarray(ranks),
+                             jnp.asarray(vals),
+                             jnp.asarray(n_valid, dtype=jnp.int64))
+    (vs, newgrp, gkey, gstart, glen, h1, h2,
+     inverse, first_group) = out
+    stats = _jit_rep_stats()(newgrp, gstart, glen, first_group, h1, h2,
+                             jnp.asarray(n_valid, dtype=jnp.int64))
+    last_stats["dispatch_s"] = last_stats.get("dispatch_s", 0.0) \
+        + (time.perf_counter() - t1)
+    return _MergeHandle(out, stats, n_valid, N)
+
+
+def merge_dedup_finish(h: _MergeHandle):
+    """Materialize a dispatched partition: sync the scalar counts,
+    launch the representative gather, and pull the compacted results."""
+    t0 = time.perf_counter()
+
+    def mark(key):
+        nonlocal t0
+        t1 = time.perf_counter()
+        last_stats[key] = last_stats.get(key, 0.0) + (t1 - t0)
+        t0 = t1
+
+    (vs, newgrp, gkey, gstart, glen, h1, h2,
+     inverse, first_group) = h.out
+    (n_groups_d, n_pat_d, total_d, rep_start, rep_len, out_off,
+     rep_h1, rep_h2) = h.stats
+    n_groups = int(n_groups_d)
+    n_pat = int(n_pat_d)
+    total = int(total_d)
+    mark("merge_stats_s")
+
+    R_pad = _next_pow2(max(total, 1))
+    compact = _jit_rep_gather(R_pad)(vs, rep_start, rep_len, out_off,
+                                     total_d)
+    mark("gather_s")
+
+    res = (_pull_prefix(compact, total),
+           _pull_prefix(gkey, n_groups).copy(),
+           _pull_prefix(out_off, n_pat).astype(np.int64),
+           _pull_prefix(rep_len, n_pat).astype(np.uint64),
+           _pull_prefix(rep_h1, n_pat).copy(),
+           _pull_prefix(rep_h2, n_pat).copy(),
+           _pull_prefix(_jit_i32()(inverse), n_groups
+                        ).astype(np.int64),
+           np.arange(n_pat, dtype=np.int64))
+    mark("pull_s")
+    if os.environ.get("KMERDB_TIMING") == "1":
+        print(f"device_build: N={h.N} groups={n_groups} pat={n_pat} "
+              + " ".join(f"{k}={v:.2f}" for k, v in last_stats.items()
+                         if k.endswith("_s")), file=sys.stderr)
+    return res
+
+
 def merge_dedup_device(sliced_k, sliced_v, cvals):
     """Device twin of native.merge_groups + dedup_groups for one
     partition.  sliced_k: list of sorted uint64 key streams;
@@ -340,56 +424,8 @@ def merge_dedup_device(sliced_k, sliced_v, cvals):
     receives only the unique keys (8B x groups), the int32 inverse,
     the per-pattern rep content (4B x deduped elements) and the dedup
     triples — typically 10-50x fewer bytes at real dedup ratios.
-    """
-    jax, jnp = jax_modules()
-    n_valid = int(sum(s.size for s in sliced_k))
-    N = _next_pow2(max(n_valid, 1))
-    if N >= (1 << 31):
-        # the dedup kernel indexes with i32 (u64 emulation on TPU is
-        # what this module exists to avoid); partitions are bounded to
-        # 8M elements by the builder, so this only guards misuse
-        raise OverflowError("device-build partition exceeds 2^31 slots")
-    t0 = time.perf_counter()
 
-    def mark(key):
-        nonlocal t0
-        t1 = time.perf_counter()
-        last_stats[key] = last_stats.get(key, 0.0) + (t1 - t0)
-        t0 = t1
-
-    keys, ranks, vals, _ = pack_streams(sliced_k, sliced_v, cvals, N)
-    mark("pack_s")
-    out = _jit_merge_dedup()(jnp.asarray(keys), jnp.asarray(ranks),
-                             jnp.asarray(vals),
-                             jnp.asarray(n_valid, dtype=jnp.int64))
-    (vs, newgrp, gkey, gstart, glen, h1, h2,
-     inverse, first_group) = out
-    stats = _jit_rep_stats()(newgrp, gstart, glen, first_group, h1, h2,
-                             jnp.asarray(n_valid, dtype=jnp.int64))
-    (n_groups_d, n_pat_d, total_d, rep_start, rep_len, out_off,
-     rep_h1, rep_h2) = stats
-    n_groups = int(n_groups_d)
-    n_pat = int(n_pat_d)
-    total = int(total_d)
-    mark("merge_stats_s")
-
-    R_pad = _next_pow2(max(total, 1))
-    compact = _jit_rep_gather(R_pad)(vs, rep_start, rep_len, out_off,
-                                     total_d)
-    mark("gather_s")
-
-    res = (_pull_prefix(compact, total),
-           _pull_prefix(gkey, n_groups).copy(),
-           _pull_prefix(out_off, n_pat).astype(np.int64),
-           _pull_prefix(rep_len, n_pat).astype(np.uint64),
-           _pull_prefix(rep_h1, n_pat).copy(),
-           _pull_prefix(rep_h2, n_pat).copy(),
-           _pull_prefix(_jit_i32()(inverse), n_groups
-                        ).astype(np.int64),
-           np.arange(n_pat, dtype=np.int64))
-    mark("pull_s")
-    if os.environ.get("KMERDB_TIMING") == "1":
-        print(f"device_build: N={N} groups={n_groups} pat={n_pat} "
-              + " ".join(f"{k}={v:.2f}" for k, v in last_stats.items()
-                         if k.endswith("_s")), file=sys.stderr)
-    return res
+    Multi-partition callers should pipeline via merge_dedup_dispatch /
+    merge_dedup_finish instead (builder.add_samples does)."""
+    return merge_dedup_finish(
+        merge_dedup_dispatch(sliced_k, sliced_v, cvals))
