@@ -50,11 +50,26 @@ def read_file_list(path: str) -> list[str]:
 
 
 def read_raw(path: str) -> bytes:
-    """Read a (possibly gzipped) file fully; gzip sniffed by magic."""
+    """Read a (possibly gzipped) file fully; gzip sniffed by magic.
+
+    gz inflate rides libdeflate when present (io/inflate.py — the role
+    of the reference's isa-l/zlib-ng fast path, file_wrapper.h:333,472)
+    and falls back to stdlib zlib on any stream libdeflate rejects,
+    matching the stdlib's tolerance envelope.
+    """
     with open(path, "rb") as f:
         head = f.read(2)
         f.seek(0)
         if head == b"\x1f\x8b":
+            from . import inflate
+            if inflate.available():
+                data = f.read()
+                try:
+                    return inflate.gzip_decompress(data)
+                except ValueError:
+                    import io as _io
+                    with gzip.open(_io.BytesIO(data)) as gz:
+                        return gz.read()
             with gzip.open(f) as gz:
                 return gz.read()
         return f.read()
