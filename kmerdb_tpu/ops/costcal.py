@@ -156,10 +156,12 @@ def _probe_device() -> dict:
     Bp = jax.device_put(rng.integers(0, 256, size=(P_rows // 8, S),
                                      dtype=np.uint8))
     w = jax.device_put(np.ones((P_rows, 1), dtype=np.uint32))
-    ex = device_a2a._jit_group_step(1, False, engine, kt, tile).lower(
+    ex = device_a2a.aot_compile(
+        ("group_step", 1, False, engine, kt, tile),
+        device_a2a._jit_group_step(1, False, engine, kt, tile),
         jax.ShapeDtypeStruct((S, S), jnp.uint32),
         jax.ShapeDtypeStruct((P_rows // 8, S), jnp.uint8),
-        jax.ShapeDtypeStruct((P_rows, 1), jnp.uint32)).compile()
+        jax.ShapeDtypeStruct((P_rows, 1), jnp.uint32))
 
     def chain(n):
         C = jax.device_put(np.zeros((S, S), dtype=np.uint32))

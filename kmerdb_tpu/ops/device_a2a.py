@@ -217,6 +217,31 @@ def _jit_rows_step(n_limbs: int, interpret: bool = False,
     return jax.jit(step, donate_argnums=(1,))
 
 
+#: process-wide memo of AOT-compiled executables.  .lower().compile()
+#: bypasses jit's dispatch cache (the AOT path exists so the full
+#: shape set compiles BEFORE big host buffers evict the compile
+#: helper's pages — see _all2all_device_inner), so without a memo a
+#: second call in the same process recompiles every program: the
+#: round-4 fused bench spent 72 s of its WARM pass inside XLA.
+#: Keyed by an explicit tag — the jitted callables are often rebuilt
+#: per call (jax.jit over a fresh functools.partial) — plus the aval
+#: shapes/dtypes.
+_aot_memo: dict = {}
+
+
+def aot_compile(tag: tuple, fn, *avals):
+    """fn.lower(*avals).compile(), memoized process-wide on
+    (tag, aval shapes+dtypes).  tag must uniquely identify the traced
+    computation: kernel family plus every non-aval parameter
+    (n_limbs, interpret, engine, kt/tile geometry, output dtype)."""
+    key = (tag, tuple((tuple(a.shape), str(a.dtype)) for a in avals))
+    ex = _aot_memo.get(key)
+    if ex is None:
+        ex = fn.lower(*avals).compile()
+        _aot_memo[key] = ex
+    return ex
+
+
 def _fill_packed(gp, rows, offs, sids, w, buf, wbuf):
     """Zero the reused scratch and fill the pattern-axis bit-packed
     incidence + weights for one group (shared by the matrix and
@@ -298,29 +323,33 @@ def all2all_device_rows(db: KmerPatternDb, row_handler,
     for _, n_limbs, rows in groups:
         key = (n_limbs, rows)
         if key not in execs:
-            execs[key] = _jit_rows_step(n_limbs, interp, engine,
-                                        KT, TILE).lower(
+            execs[key] = aot_compile(
+                ("rows_step", n_limbs, interp, engine, KT, TILE),
+                _jit_rows_step(n_limbs, interp, engine, KT, TILE),
                 jax.ShapeDtypeStruct((1,), jnp.int32),
                 jax.ShapeDtypeStruct((stripe_rows, S_pad), jnp.uint32),
                 jax.ShapeDtypeStruct((rows // 8, S_pad), jnp.uint8),
-                jax.ShapeDtypeStruct((rows, 1), jnp.uint32)).compile()
+                jax.ShapeDtypeStruct((rows, 1), jnp.uint32))
     # u16 stripe pulls when every count fits (see all2all_device)
     counts_max = int(db.sample_kmer_counts.max()) \
         if db.sample_kmer_counts.size else 0
     narrow = counts_max < (1 << 16)
     cast_exec = None
     if narrow:
-        cast_exec = jax.jit(functools.partial(
-            pallas_gram.cast_rows, dtype=jnp.uint16,
-            interpret=interp)).lower(
-            jax.ShapeDtypeStruct((stripe_rows, S_pad),
-                                 jnp.uint32)).compile()
+        cast_exec = aot_compile(
+            ("cast_rows", "uint16", interp),
+            jax.jit(functools.partial(
+                pallas_gram.cast_rows, dtype=jnp.uint16,
+                interpret=interp)),
+            jax.ShapeDtypeStruct((stripe_rows, S_pad), jnp.uint32))
     filt_exec = None
     if cell_bounds is not None:
-        filt_exec = jax.jit(functools.partial(
-            pallas_gram.filter_colsum, interpret=interp)).lower(
+        filt_exec = aot_compile(
+            ("filter_colsum", interp),
+            jax.jit(functools.partial(
+                pallas_gram.filter_colsum, interpret=interp)),
             jax.ShapeDtypeStruct((stripe_rows, S_pad), jnp.uint32),
-            jax.ShapeDtypeStruct((2,), jnp.int32)).compile()
+            jax.ShapeDtypeStruct((2,), jnp.int32))
     t_compile = time.perf_counter() - tc0
 
     gather_execs = {}
@@ -358,13 +387,15 @@ def all2all_device_rows(db: KmerPatternDb, row_handler,
             it_p[:it.size] = it
             jt_p[:it.size] = jt
             if n_pad not in gather_execs:
-                gather_execs[n_pad] = jax.jit(functools.partial(
-                    pallas_gram.gather_tiles, dtype=pull_dt,
-                    interpret=interp)).lower(
+                gather_execs[n_pad] = aot_compile(
+                    ("gather_tiles", str(pull_dt), interp),
+                    jax.jit(functools.partial(
+                        pallas_gram.gather_tiles, dtype=pull_dt,
+                        interpret=interp)),
                     jax.ShapeDtypeStruct((stripe_rows, S_pad),
                                          jnp.uint32),
                     jax.ShapeDtypeStruct((n_pad,), jnp.int32),
-                    jax.ShapeDtypeStruct((n_pad,), jnp.int32)).compile()
+                    jax.ShapeDtypeStruct((n_pad,), jnp.int32))
             tiles = np.asarray(gather_execs[n_pad](C, it_p, jt_p)
                                ).astype(np.uint32, copy=False)
             # survivor-bearing tiles still carry their non-survivor
@@ -496,10 +527,12 @@ def kernel_bench(db: KmerPatternDb, n1: int = 2, n2: int = 6) -> dict:
         buf = np.zeros((rows // 8, S_pad), dtype=np.uint8)
         wbuf = np.zeros(rows, dtype=np.uint32)
         _fill_packed(pids, rows, offs, sids, w, buf, wbuf)
-        ex = _jit_group_step(n_limbs, interp, engine, KT, TILE).lower(
+        ex = aot_compile(
+            ("group_step", n_limbs, interp, engine, KT, TILE),
+            _jit_group_step(n_limbs, interp, engine, KT, TILE),
             jax.ShapeDtypeStruct((S_pad, S_pad), jnp.uint32),
             jax.ShapeDtypeStruct((rows // 8, S_pad), jnp.uint8),
-            jax.ShapeDtypeStruct((rows, 1), jnp.uint32)).compile()
+            jax.ShapeDtypeStruct((rows, 1), jnp.uint32))
         dev_groups.append(
             (ex, jax.device_put(buf),
              jax.device_put(pallas_gram.pk_weight_order(
@@ -628,20 +661,23 @@ def _all2all_device_inner(db, jax, jnp, pallas_gram, native):
     for _, n_limbs, rows in groups:
         key = (n_limbs, rows)
         if key not in execs:
-            execs[key] = _jit_group_step(n_limbs, interp, engine,
-                                         KT, TILE).lower(
+            execs[key] = aot_compile(
+                ("group_step", n_limbs, interp, engine, KT, TILE),
+                _jit_group_step(n_limbs, interp, engine, KT, TILE),
                 jax.ShapeDtypeStruct((S_pad, S_pad), jnp.uint32),
                 jax.ShapeDtypeStruct((rows // 8, S_pad), jnp.uint8),
-                jax.ShapeDtypeStruct((rows, 1), jnp.uint32)).compile()
+                jax.ShapeDtypeStruct((rows, 1), jnp.uint32))
     # every count is bounded by min(sample kmer counts), so when the
     # largest sample fits u16 the pull halves on the ~10 MB/s link
     counts_max = int(db.sample_kmer_counts.max()) \
         if db.sample_kmer_counts.size else 0
     pull_dtype = jnp.uint16 if counts_max < (1 << 16) else jnp.uint32
-    pack_exec = jax.jit(functools.partial(
-        pallas_gram.tril_tiles, interpret=interp,
-        dtype=pull_dtype)).lower(
-        jax.ShapeDtypeStruct((S_pad, S_pad), jnp.uint32)).compile()
+    pack_exec = aot_compile(
+        ("tril_tiles", str(pull_dtype), interp),
+        jax.jit(functools.partial(
+            pallas_gram.tril_tiles, interpret=interp,
+            dtype=pull_dtype)),
+        jax.ShapeDtypeStruct((S_pad, S_pad), jnp.uint32))
     t_compile = time.perf_counter() - tc0
 
     # device_put instead of jnp.zeros: a 16 MB push beats compiling a

@@ -245,6 +245,13 @@ def all2all_group_counts(key_streams, force=None) -> np.ndarray:
     if not hwprobe.tpu_available() and force is not True:
         return _host_group_counts(key_streams)
     try:
+        # the device is now committed: measure the machine before the
+        # wire-format decision.  With the conservative default
+        # push_Bps=1e9 the raw route always wins, but on a tunneled
+        # ~25 MB/s link it loses by ~10x (round-4 push_s 49-72 s) —
+        # the one-time probe is seconds and cached across processes.
+        from .costcal import ensure_calibrated
+        ensure_calibrated()
         if _dedup_route(S, total):
             return _device_pattern_counts(key_streams)
         return _device_group_counts(key_streams)
@@ -342,12 +349,14 @@ def grid_group_counts(dbs) -> dict:
         for j in range(i + 1):
             key = (S_pads[i], S_pads[j])
             if key not in cross_execs:
-                cross_execs[key] = intersect._jit_cross_acc(
-                    1, interp, engine, KT, TILE).lower(
+                cross_execs[key] = device_a2a.aot_compile(
+                    ("cross_acc", 1, interp, engine, KT, TILE),
+                    intersect._jit_cross_acc(1, interp, engine, KT,
+                                             TILE),
                     jax.ShapeDtypeStruct((CH // 8, key[0]), jnp.uint8),
                     jax.ShapeDtypeStruct((CH // 8, key[1]), jnp.uint8),
                     jax.ShapeDtypeStruct((CH, 1), jnp.uint32),
-                    jax.ShapeDtypeStruct(key, jnp.uint32)).compile()
+                    jax.ShapeDtypeStruct(key, jnp.uint32))
     max_count = max((int(db.sample_kmer_counts.max())
                      for db in dbs if db.sample_kmer_counts.size),
                     default=0)
@@ -355,10 +364,12 @@ def grid_group_counts(dbs) -> dict:
     if max_count < (1 << 16):
         for key in {(S_pads[i], S_pads[j])
                     for i in range(P_n) for j in range(i + 1)}:
-            cast_execs[key] = jax.jit(functools.partial(
-                pallas_gram.cast_rows, dtype=jnp.uint16,
-                interpret=interp)).lower(
-                jax.ShapeDtypeStruct(key, jnp.uint32)).compile()
+            cast_execs[key] = device_a2a.aot_compile(
+                ("cast_rows", "uint16", interp),
+                jax.jit(functools.partial(
+                    pallas_gram.cast_rows, dtype=jnp.uint16,
+                    interpret=interp)),
+                jax.ShapeDtypeStruct(key, jnp.uint32))
 
     w_dev = jax.device_put(pallas_gram.pk_weight_order(
         np.ones(CH, dtype=np.uint32), KT).reshape(-1, 1))
@@ -463,20 +474,23 @@ def grid_rows_streamed(get_part, part_sizes, max_count=None):
     def cross_exec(CH, sp_i, sp_j):
         key = (CH, sp_i, sp_j)
         if key not in cross_execs:
-            cross_execs[key] = intersect._jit_cross_acc(
-                1, interp, engine, KT, TILE).lower(
+            cross_execs[key] = device_a2a.aot_compile(
+                ("cross_acc", 1, interp, engine, KT, TILE),
+                intersect._jit_cross_acc(1, interp, engine, KT, TILE),
                 jax.ShapeDtypeStruct((CH // 8, sp_i), jnp.uint8),
                 jax.ShapeDtypeStruct((CH // 8, sp_j), jnp.uint8),
                 jax.ShapeDtypeStruct((CH, 1), jnp.uint32),
-                jax.ShapeDtypeStruct((sp_i, sp_j), jnp.uint32)).compile()
+                jax.ShapeDtypeStruct((sp_i, sp_j), jnp.uint32))
         return cross_execs[key]
 
     def pull(C, key):
         if narrow and key not in cast_execs:
-            cast_execs[key] = jax.jit(functools.partial(
-                pallas_gram.cast_rows, dtype=jnp.uint16,
-                interpret=interp)).lower(
-                jax.ShapeDtypeStruct(key, jnp.uint32)).compile()
+            cast_execs[key] = device_a2a.aot_compile(
+                ("cast_rows", "uint16", interp),
+                jax.jit(functools.partial(
+                    pallas_gram.cast_rows, dtype=jnp.uint16,
+                    interpret=interp)),
+                jax.ShapeDtypeStruct(key, jnp.uint32))
         ce = cast_execs.get(key)
         return np.asarray(ce(C) if ce is not None else C).astype(
             np.uint32, copy=False)
@@ -647,16 +661,20 @@ def _device_group_counts(key_streams) -> np.ndarray:
     if device_a2a._warmup_thread is not None:
         device_a2a._warmup_thread.join()
     interp = not pallas_gram.on_tpu()
-    ex = device_a2a._jit_group_step(1, interp, engine, KT, TILE).lower(
+    ex = device_a2a.aot_compile(
+        ("group_step", 1, interp, engine, KT, TILE),
+        device_a2a._jit_group_step(1, interp, engine, KT, TILE),
         jax.ShapeDtypeStruct((S_pad, S_pad), jnp.uint32),
         jax.ShapeDtypeStruct((group_rows // 8, S_pad), jnp.uint8),
-        jax.ShapeDtypeStruct((group_rows, 1), jnp.uint32)).compile()
+        jax.ShapeDtypeStruct((group_rows, 1), jnp.uint32))
     max_kmers = max((int(s.size) for s in key_streams), default=0)
     pull_dtype = jnp.uint16 if max_kmers < (1 << 16) else jnp.uint32
-    pack_exec = jax.jit(functools.partial(
-        pallas_gram.tril_tiles, interpret=interp,
-        dtype=pull_dtype)).lower(
-        jax.ShapeDtypeStruct((S_pad, S_pad), jnp.uint32)).compile()
+    pack_exec = device_a2a.aot_compile(
+        ("tril_tiles", str(pull_dtype), interp),
+        jax.jit(functools.partial(
+            pallas_gram.tril_tiles, interpret=interp,
+            dtype=pull_dtype)),
+        jax.ShapeDtypeStruct((S_pad, S_pad), jnp.uint32))
     t_compile = time.perf_counter() - tc0
 
     C = jax.device_put(np.zeros((S_pad, S_pad), dtype=np.uint32))

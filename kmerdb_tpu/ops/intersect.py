@@ -139,11 +139,13 @@ def _d2d_device(db_row, db_col, up1, up2, cnts):
                        // pallas_gram.LIMB_BITS[engine]))
 
     interp = not pallas_gram.on_tpu()
-    ex = _jit_cross_acc(n_limbs, interp, engine, KT, TILE).lower(
+    ex = device_a2a.aot_compile(
+        ("cross_acc", n_limbs, interp, engine, KT, TILE),
+        _jit_cross_acc(n_limbs, interp, engine, KT, TILE),
         jax.ShapeDtypeStruct((rows // 8, S1_pad), jnp.uint8),
         jax.ShapeDtypeStruct((rows // 8, S2_pad), jnp.uint8),
         jax.ShapeDtypeStruct((rows, 1), jnp.uint32),
-        jax.ShapeDtypeStruct((S1_pad, S2_pad), jnp.uint32)).compile()
+        jax.ShapeDtypeStruct((S1_pad, S2_pad), jnp.uint32))
 
     o1 = np.ascontiguousarray(db_row.pattern_offsets, dtype=np.int64)
     s1 = np.ascontiguousarray(db_row.pattern_sample_ids, dtype=np.uint32)
@@ -571,10 +573,13 @@ def _m2a_device_mosaic(H_all, B_all, n_limbs):
     # n_limbs == 1 (the common case) and uint32 otherwise; a uint32
     # lowering would make the compiled executable reject every 1-limb
     # call ("Argument types differ") and silently fall back
-    ex = _jit_m2a_acc(n_limbs, interp).lower(
+    from . import device_a2a
+    ex = device_a2a.aot_compile(
+        ("m2a_acc", n_limbs, interp, str(np.dtype(H_all.dtype))),
+        _jit_m2a_acc(n_limbs, interp),
         jax.ShapeDtypeStruct((Q_pad, P_pad), jnp.dtype(H_all.dtype)),
         jax.ShapeDtypeStruct((P_pad, S_pad), jnp.int8),
-        jax.ShapeDtypeStruct((Q_pad, S_pad), jnp.uint32)).compile()
+        jax.ShapeDtypeStruct((Q_pad, S_pad), jnp.uint32))
     C = jax.device_put(np.zeros((Q_pad, S_pad), dtype=np.uint32))
     for c in range(n_chunks):
         C = ex(jax.device_put(H_all[c]), jax.device_put(B_all[c]), C)
