@@ -95,14 +95,26 @@ def bench_quick(base):
             rc = cli(["all2all", db, out])
             a2a_times.append(time.perf_counter() - t0)
             assert rc == 0, "all2all failed"
+        # new2all: the corpus queried against its own database (the
+        # reference CI shape, main.yml "new2all k18.db seqs.list");
+        # best of two — ingest+probe+apply, host tier
+        n2a = os.path.join(td, "bench.n2a")
+        n2a_times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rc = cli(["new2all", db, list_path, n2a])
+            n2a_times.append(time.perf_counter() - t0)
+            assert rc == 0, "new2all failed"
         n_lines = sum(1 for _ in open(out))
     assert n_lines == base["n_samples"] + 2, "unexpected output shape"
     return {
         "build_s": round(min(build_times), 2),
         "all2all_s": round(min(a2a_times), 2),
+        "new2all_s": round(min(n2a_times), 2),
         "build_runs_s": [round(t, 2) for t in build_times],
         "ref_build_s": base["reference_build_s"],
         "ref_all2all_s": base["reference_all2all_s"],
+        "ref_new2all_s": base.get("reference_new2all_s"),
     }
 
 
@@ -579,6 +591,10 @@ def main():
     detail = {
         "quick": quick,
         "baseline_threads_effective": 1,
+        **({"new2all_vs_baseline": round(
+            base["reference_new2all_s"] / quick["new2all_s"], 2)}
+           if quick.get("new2all_s") and base.get("reference_new2all_s")
+           else {}),
         "baseline_note": ("reference kmer-db 2.3.1 run with -t 16 on a "
                           "1-vCPU host (hardware_concurrency=1): "
                           "effectively single-threaded"),
