@@ -21,6 +21,7 @@ pattern CSR.
 """
 
 import functools
+import os
 
 import numpy as np
 
@@ -641,12 +642,27 @@ def _m2a_host_apply(db: KmerPatternDb, probes, S: int) -> np.ndarray:
     from ..utils import native
     offs = np.ascontiguousarray(db.pattern_offsets, dtype=np.int64)
     sids = np.ascontiguousarray(db.pattern_sample_ids, dtype=np.uint32)
-    out = np.zeros((len(probes), S), dtype=np.uint32)
     flat = getattr(probes, "flat", None)
     if flat is not None and native.available:
+        out = native.alloc_array(len(probes) * S, np.uint32).reshape(
+            len(probes), S)
         hp, hc, qoffs, ucnt = flat
-        native.csr_apply_many(qoffs, ucnt, hp, hc, offs, sids, out)
+        # pattern-major for wide sample axes: each hit pattern's sample
+        # list is read once for the whole batch and dense patterns
+        # apply as SIMD row AXPYs (query-major re-reads lists per query
+        # — 21 s of a 24 s scale new2all on the 256x4096 case; 2 s
+        # pattern-major).  At small S the AXPY never engages and the
+        # hit transpose is pure overhead (128-sample corpus: 0.38 s
+        # query-major vs 1.1 s pattern-major), so query-major keeps
+        # the narrow shapes.  KMERDB_APPLY=qmajor/pmajor forces.
+        mode = os.environ.get("KMERDB_APPLY", "")
+        if mode == "qmajor" or (S < 512 and mode != "pmajor"):
+            native.csr_apply_many(qoffs, ucnt, hp, hc, offs, sids, out)
+        else:
+            native.csr_apply_patmajor(qoffs, ucnt, hp, hc, offs, sids,
+                                      db.n_patterns, out)
         return out
+    out = np.zeros((len(probes), S), dtype=np.uint32)
     for i, (hp, cnts) in enumerate(probes):
         if hp.size:
             native.csr_apply(np.ascontiguousarray(hp, dtype=np.int64),
