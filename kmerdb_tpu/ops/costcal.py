@@ -172,13 +172,34 @@ def _probe_device() -> dict:
         return time.perf_counter() - t0
 
     chain(1)
-    t1, t2 = chain(2), chain(6)
+    # adaptive chain lengths: the differenced window must dwarf the
+    # tunnel's sync jitter or the quotient is garbage (a too-short
+    # window measured 4.1e17 FLOP/s here — 1000x over the chip peak
+    # — which then poisoned every tier decision; same gate as
+    # kernel_bench, commit d48fc4c)
+    n1, n2 = 2, 6
+    while True:
+        t1, t2 = chain(n1), chain(n2)
+        if t2 - t1 >= 0.3 or n2 >= 384:
+            break
+        n1 *= 4
+        n2 *= 4
     nt = S // tile
     flops = 2.0 * P_rows * S * S * (nt + 1) / (2 * nt)
-    res["dev_flops"] = flops / max((t2 - t1) / 4, 1e-6)
+    raw = flops * (n2 - n1) / max(t2 - t1, 1e-6)
+    res["dev_flops_raw"] = raw
+    # clamp to a physically plausible ceiling (v5e int8 MXU peak is
+    # 3.94e14); beyond it the measurement is wrong, and for dispatch a
+    # too-fast device constant is the dangerous direction
+    res["dev_flops"] = min(raw, 5.0e14)
     # fixed per-process cost: service init + the typical 4-program
-    # compile set (measured here as the init probe, floored at 2 s)
-    res["fixed_s"] = max(2.0, res["probe_init_s"])
+    # compile set (measured here as the init probe, floored at 2 s).
+    # Capped at 30 s: tunneled rigs show first-pass service stalls of
+    # 25 s-19 min that are one-off variance, not the per-process cost
+    # — dispatching every future job on the worst observed stall would
+    # strand the device tier's steady-state wins (the raw value stays
+    # in the cache for diagnosis).
+    res["fixed_s"] = max(2.0, min(res["probe_init_s"], 30.0))
     return res
 
 
