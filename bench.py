@@ -448,6 +448,32 @@ def bench_scale(base):
         with open(memo_path, "w") as f:
             json.dump({"host_s": host_s, "host_sha": host_sha}, f)
 
+    # scale new2all (host tier: pattern-major apply): 256 queries (a
+    # corpus prefix) against the 4,096-sample DB, best of two — the
+    # reference binary measured 59.6 s on this exact workload
+    # (BASELINE_MEASURED scale_reference_new2all_s, 2026-08-20)
+    _phase("scale: new2all 256q")
+    n2a_s = None
+    try:
+        q_list = os.path.join(SCALE_DIR, "bench_q256.list")
+        with open(list_path) as f, open(q_list, "w") as g:
+            for i, line in enumerate(f):
+                if i >= 256:
+                    break
+                g.write(line)
+        n2a_times = []
+        with tempfile.TemporaryDirectory() as td:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                rc = cli(["new2all", db_path, q_list,
+                          os.path.join(td, "scale.n2a")])
+                n2a_times.append(time.perf_counter() - t0)
+                assert rc == 0, "scale new2all failed"
+        n2a_s = min(n2a_times)
+    except Exception as e:
+        n2a_s = None
+        print(f"bench: scale new2all failed: {e}", file=sys.stderr)
+
     dev = _run_device_section(list_path, db_path, build_s)
     if "error" in dev:
         raise RuntimeError(f"device section failed: {dev['error']}")
@@ -482,6 +508,12 @@ def bench_scale(base):
                             "at this corpus's modest FLOP count) against "
                             "the engine's MXU peak; kernel_tflops below "
                             "is the kernel-only figure on resident data"),
+        **({"new2all_256q_s": round(n2a_s, 2),
+            "ref_new2all_256q_s": base.get("scale_reference_new2all_s"),
+            **({"new2all_vs_baseline": round(
+                base["scale_reference_new2all_s"] / n2a_s, 2)}
+               if base.get("scale_reference_new2all_s") else {})}
+           if n2a_s else {}),
         **{k: v for k, v in dev.items() if k != "c_dev_sha"},
         "ref_build_s": base.get("scale_reference_build_s"),
         "ref_all2all_s": base.get("scale_reference_all2all_s"),
