@@ -253,10 +253,11 @@ def alloc_array(n: int, dtype, populate: bool = True) -> np.ndarray:
     nbytes = max(1, int(n) * dtype.itemsize)
     mm = _mmap.mmap(-1, nbytes)
     if populate:
-        try:
-            mm.madvise(_MADV_HUGEPAGE)
-        except (OSError, ValueError, AttributeError):
-            pass
+        if nbytes >= (4 << 20):  # sub-2MB regions can't get hugepages
+            try:
+                mm.madvise(_MADV_HUGEPAGE)
+            except (OSError, ValueError, AttributeError):
+                pass
         try:
             mm.madvise(_MADV_POPULATE_WRITE)
         except (OSError, ValueError, AttributeError):

@@ -314,16 +314,18 @@ void kmerdb_radix_sort_k(int64_t n, uint64_t* keys, uint64_t* tkeys) {
     int bits = 0;
     while (acc >> bits) ++bits;
     if (bits == 0) return;  // all-zero keys: already sorted
-    if (n >= 2048) {
+    if (n >= 32768) {  // below this the wider prefix sums wash the win
         const int passes = (bits + 11) / 12;
-        std::vector<int64_t> hist((size_t)passes * 4096, 0);
+        static thread_local int64_t hist_tl[6 * 4096];
+        int64_t* hist = hist_tl;
+        memset(hist, 0, (size_t)passes * 4096 * 8);
         for (int64_t i = 0; i < n; ++i) {
             const uint64_t x = keys[i];
             for (int p = 0; p < passes; ++p)
                 ++hist[(size_t)p * 4096 + ((x >> (p * 12)) & 0xfff)];
         }
         for (int p = 0; p < passes; ++p) {
-            int64_t* h = hist.data() + (size_t)p * 4096;
+            int64_t* h = hist + (size_t)p * 4096;
             if (h[(src[0] >> (p * 12)) & 0xfff] == n) continue;
             int64_t sum = 0;
             for (int d = 0; d < 4096; ++d)
