@@ -462,13 +462,21 @@ def bench_scale(base):
                     break
                 g.write(line)
         n2a_times = []
-        with tempfile.TemporaryDirectory() as td:
-            for _ in range(2):
-                t0 = time.perf_counter()
-                rc = cli(["new2all", db_path, q_list,
-                          os.path.join(td, "scale.n2a")])
-                n2a_times.append(time.perf_counter() - t0)
-                assert rc == 0, "scale new2all failed"
+        # pin to the host tier: this benchmarks the pattern-major host
+        # apply (the 19x claim), and letting the dispatch touch the
+        # device here would eat the process's first-pass service stall
+        # inside the measurement (observed 11+ min on this rig)
+        os.environ["KMERDB_N2A_DEVICE"] = "0"
+        try:
+            with tempfile.TemporaryDirectory() as td:
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    rc = cli(["new2all", db_path, q_list,
+                              os.path.join(td, "scale.n2a")])
+                    n2a_times.append(time.perf_counter() - t0)
+                    assert rc == 0, "scale new2all failed"
+        finally:
+            os.environ.pop("KMERDB_N2A_DEVICE", None)
         n2a_s = min(n2a_times)
     except Exception as e:
         n2a_s = None

@@ -500,17 +500,29 @@ def many2all_counts(db: KmerPatternDb, queries: list[np.ndarray],
             c = cost()
             probes = _probe_queries(db, queries)
             lens = np.diff(db.pattern_offsets)
-            apply_ops = float(sum(
-                lens[hp].sum() for hp, _ in probes[0]))
-            host_s = apply_ops / (c["host_rate"] if S <= 1024
-                                  else c["host_rate_big"])
+            if S >= 512:
+                # pattern-major host apply (what _m2a_host_apply will
+                # actually run at this S): per-hit cost is capped by
+                # the SIMD row AXPY at ~S/8 units, and the unit rate
+                # matches the cache-resident scatter rate (measured
+                # 1.8e9 units/s vs host_rate 1.7e9 on the bench rig).
+                # The old uncapped estimate modeled the query-major
+                # kernel and over-priced the host ~10x, wrongly
+                # sending scale jobs to a push-bound device tier.
+                cap = np.uint32(max(S // 8, 1))
+                apply_ops = float(sum(
+                    np.minimum(lens[hp], cap).sum()
+                    for hp, _ in probes[0]))
+                host_s = apply_ops / c["host_rate"]
+            else:
+                apply_ops = float(sum(
+                    lens[hp].sum() for hp, _ in probes[0]))
+                host_s = apply_ops / c["host_rate"]
             if host_s >= c["fixed_s"]:
                 if _on_tpu():
                     from . import costcal
                     c = costcal.ensure_calibrated()
-                    host_s = apply_ops / (
-                        c["host_rate"] if S <= 1024
-                        else c["host_rate_big"])
+                    host_s = apply_ops / c["host_rate"]
                     TILE, KT = geom.TILE, geom.KT
                     Q_pad = _round_up(Q, TILE)
                     S_pad = _round_up(S, TILE)
