@@ -436,7 +436,12 @@ def _filter_colsum_kernel(b_ref, c_ref, out_ref):
     SMEM's int32 scalars."""
     blk = (c_ref[:] ^ np.uint32(0x80000000)).astype(jnp.int32)
     keep = (blk >= b_ref[0]) & (blk <= b_ref[1])
-    out_ref[:] = jnp.sum(keep.astype(jnp.uint32), axis=0, keepdims=True)
+    # reduce in int32: Mosaic has no unsigned reductions ("Reductions
+    # over unsigned integers not implemented" on real TPU — the
+    # interpreter accepts u32, so only hardware runs catch it); the
+    # tile count <= 128 fits either way
+    s = jnp.sum(keep.astype(jnp.int32), axis=0, keepdims=True)
+    out_ref[:] = s.astype(jnp.uint32)
 
 
 def bias_bounds(lo: int, hi: int) -> np.ndarray:
