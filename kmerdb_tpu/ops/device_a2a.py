@@ -565,6 +565,21 @@ def kernel_bench(db: KmerPatternDb, n1: int = 2, n2: int = 6) -> dict:
         n2 = n1 + min(need, 2000)
         t1, t2 = chain(n1), chain(n2)
         per_call = (t2 - t1) / (n2 - n1)
+    # a tunnel stall inside either chain skews the delta (inflates it
+    # in the long chain, deflates it in the short one — observed 112
+    # vs 333 TFLOPS for the same resident workload in back-to-back
+    # full-bench runs); the median of three differenced measurements
+    # is robust to one stall in either direction
+    samples = [per_call]
+    for _ in range(2):
+        r1, r2 = chain(n1), chain(n2)
+        samples.append((r2 - r1) / (n2 - n1))
+    pos = sorted(s for s in samples if s > 0)
+    if pos:
+        # odd -> true median; even -> upper median (the conservative,
+        # slower-kernel read)
+        per_call = pos[len(pos) // 2]
+        t2 = t1 + per_call * (n2 - n1)  # keep the error text coherent
     out = {
         "engine": engine, "kt": KT, "tile": TILE,
         "kernel_flops_per_pass": flops_per_call,
