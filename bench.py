@@ -466,6 +466,7 @@ def bench_scale(base):
         # apply (the 19x claim), and letting the dispatch touch the
         # device here would eat the process's first-pass service stall
         # inside the measurement (observed 11+ min on this rig)
+        prev_n2a = os.environ.get("KMERDB_N2A_DEVICE")
         os.environ["KMERDB_N2A_DEVICE"] = "0"
         try:
             with tempfile.TemporaryDirectory() as td:
@@ -476,7 +477,10 @@ def bench_scale(base):
                     n2a_times.append(time.perf_counter() - t0)
                     assert rc == 0, "scale new2all failed"
         finally:
-            os.environ.pop("KMERDB_N2A_DEVICE", None)
+            if prev_n2a is None:
+                os.environ.pop("KMERDB_N2A_DEVICE", None)
+            else:
+                os.environ["KMERDB_N2A_DEVICE"] = prev_n2a
         n2a_s = min(n2a_times)
     except Exception as e:
         n2a_s = None

@@ -55,7 +55,10 @@ _ENV = {
 #: v2: host kernels are threaded — host_rate/host_rate_big/fill_Bps
 #: are now measured at the machine's thread count (recorded as
 #: host_threads), so v1 single-thread rates underestimate real hosts
-_VERSION = 2
+#: v3: dev_flops chains are adaptive + plausibility-clamped and
+#: fixed_s is stall-capped — v2 caches can hold exactly the poisoned
+#: values (4.1e17 FLOP/s, 233 s fixed) these changes exist to prevent
+_VERSION = 3
 
 
 def cache_path() -> pathlib.Path:

@@ -513,11 +513,10 @@ def many2all_counts(db: KmerPatternDb, queries: list[np.ndarray],
                 apply_ops = float(sum(
                     np.minimum(lens[hp], cap).sum()
                     for hp, _ in probes[0]))
-                host_s = apply_ops / c["host_rate"]
             else:
                 apply_ops = float(sum(
                     lens[hp].sum() for hp, _ in probes[0]))
-                host_s = apply_ops / c["host_rate"]
+            host_s = apply_ops / c["host_rate"]
             if host_s >= c["fixed_s"]:
                 if _on_tpu():
                     from . import costcal

@@ -251,7 +251,16 @@ def alloc_array(n: int, dtype, populate: bool = True) -> np.ndarray:
     import mmap as _mmap
     dtype = np.dtype(dtype)
     nbytes = max(1, int(n) * dtype.itemsize)
-    mm = _mmap.mmap(-1, nbytes)
+    try:
+        # MAP_PRIVATE: python's default anonymous map is MAP_SHARED
+        # (shmem), whose THP policy (shmem_enabled) is 'never' on
+        # stock kernels — MADV_HUGEPAGE would silently no-op there.
+        # Private anonymous memory honors the regular THP 'madvise'
+        # policy, matching the C arena (arena_grow).
+        mm = _mmap.mmap(-1, nbytes,
+                        flags=_mmap.MAP_PRIVATE | _mmap.MAP_ANONYMOUS)
+    except (ValueError, OSError, AttributeError):
+        mm = _mmap.mmap(-1, nbytes)
     if populate:
         if nbytes >= (4 << 20):  # sub-2MB regions can't get hugepages
             try:

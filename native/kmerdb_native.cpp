@@ -311,9 +311,12 @@ void kmerdb_radix_sort_k(int64_t n, uint64_t* keys, uint64_t* tkeys) {
     // Tiny arrays keep the 8-bit path (prefix-sum overhead dominates).
     uint64_t acc = 0;
     for (int64_t i = 0; i < n; ++i) acc |= keys[i];
-    int bits = 0;
-    while (acc >> bits) ++bits;
-    if (bits == 0) return;  // all-zero keys: already sorted
+    if (acc == 0) return;  // all-zero keys: already sorted
+    // bounded width scan: `acc >> bits` with bits reaching 64 is UB
+    // (masked to a no-op shift on x86/ARM — an infinite loop when
+    // bit 63 is set, e.g. k=32 DNA codes)
+    int bits = 64;
+    while (bits > 1 && !(acc >> (bits - 1))) --bits;
     if (n >= 32768) {  // below this the wider prefix sums wash the win
         const int passes = (bits + 11) / 12;
         static thread_local int64_t hist_tl[6 * 4096];
@@ -749,8 +752,6 @@ int64_t kmerdb_many2all_probe(
     int32_t* rscratch = tmp + total_q;
     uint32_t* hist_base = want_hist
         ? (uint32_t*)(rscratch + (size_t)nt * qmax) : nullptr;
-    if (want_hist)  // the emission scan restores zeros after each query
-        memset(hist_base, 0, (size_t)nt * n_patterns * 4);
 
     // KMERDB_PROBE_STATS=1: per-phase wall times on stderr (tuning)
     const bool stats = [] {
@@ -884,6 +885,11 @@ int64_t kmerdb_many2all_probe(
     run_parallel(nt, [&](int t) {
         int32_t* scratch = rscratch + (size_t)t * qmax;
         int64_t local_max = 1;
+        // lazy: this thread's histogram is zeroed on first hist-path
+        // use only (the emission scan restores zeros afterwards), so a
+        // sparse pattern space that keeps every query on the sort path
+        // never pays the up-to-128 MB wipe
+        bool hist_zeroed = false;
         for (;;) {
             const int64_t q = next_q.fetch_add(1);
             if (q >= Q) break;
@@ -902,6 +908,10 @@ int64_t kmerdb_many2all_probe(
                 // falls out of the scan.  Gated on density so a huge
                 // sparse pattern space keeps the sort path.
                 uint32_t* hist = hist_base + (size_t)t * n_patterns;
+                if (!hist_zeroed) {
+                    memset(hist, 0, (size_t)n_patterns * 4);
+                    hist_zeroed = true;
+                }
                 for (int64_t r = 0; r < R; ++r) {
                     const int32_t* s = seg_base + c[r];
                     const int64_t nseg = hcnt[(size_t)q * R + r];

@@ -61,6 +61,24 @@ def test_patmajor_matches_qmajor(seed, Q, S, P, max_cnt):
     assert np.array_equal(a, b)
 
 
+def test_radix_sort_bit63():
+    """Keys with bit 63 set must sort (the width scan `acc >> bits`
+    hit shift-by-64 UB — an infinite loop on x86/ARM; found by
+    review, reachable via 64-bit KMC k-mer codes)."""
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 1 << 62, size=50_000, dtype=np.uint64)
+    keys[::3] |= np.uint64(1) << np.uint64(63)
+    expect = np.sort(keys.copy())
+    native.radix_sort(keys)
+    assert np.array_equal(keys, expect)
+
+
+def test_radix_sort_all_ones():
+    keys = np.full(4096, 0xFFFFFFFFFFFFFFFF, dtype=np.uint64)
+    native.radix_sort(keys)
+    assert (keys == np.uint64(0xFFFFFFFFFFFFFFFF)).all()
+
+
 def test_patmajor_empty():
     a = np.zeros((2, 8), dtype=np.uint32)
     native.csr_apply_patmajor(
